@@ -1,0 +1,111 @@
+"""Single frozen configuration object for the whole framework.
+
+Replaces the reference's three duplicated plain-attribute option classes
+(`app.py:1-60`, `train.ipynb` cell 0, `test.ipynb` cell 0) with one frozen
+dataclass, JSON-serializable next to checkpoints.  Field names follow the
+reference where they are meaningful; dead reference fields (`gp_lambda`,
+`ncritic`, `bottleneck`, `constrain`, `n_layers_D`, `save_latest_freq`,
+`print_freq` — see SURVEY.md §2.5) are intentionally dropped.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+
+@dataclass(frozen=True)
+class Config:
+    # ---- geometry ----------------------------------------------------------
+    batch_size: int = 1
+    fine_size: int = 256          # square image resolution (reference `fineSize`)
+    input_nc: int = 3             # stage-1 (rough net) input channels
+    input_nc_g: int = 6           # stage-2 (refinement net) input channels
+    output_nc: int = 3
+    ngf: int = 64                 # generator base width
+    ndf: int = 64                 # discriminator base width
+
+    # ---- model selection (reference `which_model_*`) -----------------------
+    which_model_netG: str = "unet_ipsr"
+    which_model_netP: str = "unet_256"
+    which_model_netD: str = "basic"
+    which_model_netF: str = "feature"
+    norm: str = "instance"        # 'instance' | 'batch' | 'none'
+    use_dropout: bool = False
+    init_type: str = "normal"
+    init_gain: float = 0.02
+
+    # ---- attention (IPSR / CSA shift layer) --------------------------------
+    threshold: float = 5.0 / 16.0  # feature-mask binarization threshold
+    stride: int = 1
+    shift_sz: int = 1              # feature patch size
+    mask_thred: float = 1.0        # per-patch mask-sum threshold for "masked"
+    triple_weight: float = 1.0     # backward attention gradient weight
+    fixed_mask: int = 1
+    # Reference-quirk fidelity switches (SURVEY.md §7.3 item 4).  `True`
+    # reproduces the reference bit-for-bit; `False` enables the corrected
+    # behavior.
+    faithful_backward_truncation: bool = True   # LongTensor-truncated attention rows in bwd
+    faithful_detached_cosis: bool = True        # InnerCos losses detached from G grads
+    attention_impl: str = "lax"                 # 'lax' | 'pallas'
+
+    # ---- masks -------------------------------------------------------------
+    mask_type: str = "random"      # 'center' | 'random'
+    overlap: int = 4               # center-mask inset (reference `overlap`)
+
+    # ---- losses ------------------------------------------------------------
+    lambda_A: float = 100.0
+    gan_type: str = "lsgan"        # 'lsgan' | 'wgan_gp' (MSE) | 'vanilla' (BCE)
+    gan_weight: float = 0.2
+    cosis: int = 1                 # include InnerCos feature-consistency losses
+    strength: float = 1.0          # InnerCos strength multiplier
+    skip: int = 0                  # skip InnerCos losses entirely
+
+    # ---- optimization ------------------------------------------------------
+    lr: float = 2e-4
+    beta1: float = 0.5
+    lr_policy: str = "lambda"      # 'lambda' | 'step' | 'plateau' | 'cosine'
+    lr_decay_iters: int = 50
+    niter: int = 20
+    niter_decay: int = 100
+    epoch_count: int = 1
+
+    # ---- bookkeeping -------------------------------------------------------
+    name: str = "IPSR_inpainting"
+    checkpoints_dir: str = "checkpoints"
+    which_epoch: str = ""
+    save_epoch_freq: int = 1
+    display_freq: int = 1000
+    continue_train: bool = False
+    is_train: bool = True
+    early_stop_patience: int = 20
+
+    # ---- compute -----------------------------------------------------------
+    dtype: str = "float32"         # activation compute dtype: 'float32' | 'bfloat16'
+    seed: int = 0
+    vgg_weights: str = "random"    # 'random' or a path to a converted .npz
+    data_axis: str = "data"        # mesh axis name for data parallelism
+
+    # ------------------------------------------------------------------------
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2, sort_keys=True)
+
+    @classmethod
+    def from_json(cls, text: str) -> "Config":
+        raw = json.loads(text)
+        fields = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: v for k, v in raw.items() if k in fields})
+
+    def save(self, path: str) -> None:
+        with open(path, "w") as f:
+            f.write(self.to_json())
+
+    @classmethod
+    def load(cls, path: str) -> "Config":
+        with open(path) as f:
+            return cls.from_json(f.read())

@@ -1,0 +1,168 @@
+"""IPSR coherent-semantic shift-attention — the framework's hot kernel.
+
+Reference algorithm (reimplemented from scratch; behavior cites into
+/root/reference — models/IPSRFunction.py:13-140 forward, :144-178 backward,
+util/NonparametricShift.py:10-73, util/MaxCoord.py:16-28):
+
+Given a decoder feature map `feat` [H, W, C] and the VGG relu4_3 features of
+a *reference image* `ref` [H, W, C] (models/IPSRFunction.py:49), with a
+per-position masked flag vector:
+
+  1. View every 1x1 spatial position of `feat` as a patch P[p] in R^C and
+     L2-normalize a copy Pn (NonparametricShift.py:36-40).
+  2. Cross-correlate every input patch against the reference feature at every
+     position: scores[p, q] = <Pn[p], ref[q]>  (the reference builds a 1x1
+     conv with 1024 kernels — IPSRFunction.py:59; here it is one [N,C]x[C,N]
+     matmul on the MXU).
+  3. Per position q, argmax over patches: ind[q], vmax[q] (MaxCoord.py:16-28).
+  4. Raster-order coherence propagation over positions (the reference's
+     Python double loop, IPSRFunction.py:82-129), a *data-dependent nonlinear
+     recurrence* expressed here as one `lax.scan`:
+       masked q, first:  out = P[ind[q]];            row = onehot(ind[q])
+       masked q, later:  at  = <Pn[q], out_prev>
+                         a = at/(at+vmax[q]); b = vmax[q]/(at+vmax[q])
+                         out = a*out_prev + b*P[ind[q]]
+                         row = a*row_prev + b*onehot(ind[q])
+       known  q:         column = onehot(ind[q])   (note: even known positions
+                         are replaced by their best ref-matching patch, not
+                         identity — IPSRFunction.py:127-129)
+     The carry (out_prev, row_prev) only advances on masked positions.
+  5. Decode: output[q] = sum_p kbar[q, p] * P[p]  (the reference's 1x1
+     ConvTranspose, IPSRFunction.py:130-133; here a second MXU matmul).
+
+Backward (custom_vjp, reference-faithful): grad_in = g + triple_w * Kt^T g
+where Kt is the attention matrix *truncated toward zero* — the reference
+stores the float rows into a LongTensor (IPSRFunction.py:36,134), so
+fractional masked-position weights mostly become 0 and only the one-hot
+entries survive.  `truncate_backward=False` gives the corrected float
+backward.  No gradients flow to `ref` or the mask (IPSRFunction.py:178
+returns None for every other input).
+
+TPU-native redesign vs the reference (SURVEY.md §7.1): dense static-shape
+formulation gated by `flag` (no dynamic index sets), batch via `vmap`, the
+two matmuls run on the MXU in one fused jit graph, and the scan is the only
+sequential part.  A fused Pallas kernel with identical semantics lives in
+attention_pallas.py.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+_NORM_EPS = 1e-8  # parity: NonparametricShift.py:39, IPSRFunction.py:109
+
+
+def _propagate_scan(P: jnp.ndarray, Pn: jnp.ndarray, flag: jnp.ndarray,
+                    ind: jnp.ndarray, vmax: jnp.ndarray) -> jnp.ndarray:
+    """Sequential coherence propagation; returns kbar [N_pos, N_patch]."""
+    n, c = P.shape
+    iota = jnp.arange(n)
+    known = jnp.take(P, ind, axis=0)              # [N, C] best patch per pos
+
+    def body(carry, x):
+        prev_out, prev_row, seen = carry
+        f, v, ind_q, p_n, known_q = x
+        masked = f > 0.5
+        first = jnp.logical_and(masked, jnp.logical_not(seen))
+        onehot = (iota == ind_q).astype(P.dtype)
+
+        at = jnp.dot(p_n, prev_out)
+        denom = at + v
+        a = at / denom
+        b = v / denom
+        out_later = a * prev_out + b * known_q
+        row_later = a * prev_row + b * onehot
+
+        out_m = jnp.where(first, known_q, out_later)
+        row_m = jnp.where(first, onehot, row_later)
+
+        new_out = jnp.where(masked, out_m, prev_out)
+        new_row = jnp.where(masked, row_m, prev_row)
+        new_seen = jnp.logical_or(seen, masked)
+        col = jnp.where(masked, row_m, onehot)
+        return (new_out, new_row, new_seen), col
+
+    init = (jnp.zeros((c,), P.dtype), jnp.zeros((n,), P.dtype),
+            jnp.zeros((), jnp.bool_))
+    _, kbar = lax.scan(body, init, (flag, vmax, ind, Pn, known))
+    return kbar  # kbar[q, p]
+
+
+def _attention_core(feat: jnp.ndarray, ref: jnp.ndarray,
+                    flag: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Single-sample forward.  feat/ref: [H, W, C]; flag: [H*W].
+
+    Returns (out [H, W, C], kbar [N_pos, N_patch]).
+    """
+    h, w, c = feat.shape
+    n = h * w
+    P = feat.reshape(n, c)
+    R = ref.reshape(n, c)
+    Pn = P * (1.0 / (jnp.linalg.norm(P, axis=1, keepdims=True) + _NORM_EPS))
+
+    # Cross-correlation of every input patch with the ref feature (MXU).
+    scores = jnp.dot(Pn, R.T, preferred_element_type=jnp.float32)  # [patch,pos]
+    ind = jnp.argmax(scores, axis=0)
+    vmax = jnp.max(scores, axis=0).astype(P.dtype)
+
+    kbar = _propagate_scan(P, Pn, flag, ind, vmax)
+
+    out = jnp.dot(kbar, P, preferred_element_type=jnp.float32)  # [pos, C]
+    return out.astype(feat.dtype).reshape(h, w, c), kbar
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def ipsr_attention(feat: jnp.ndarray, ref: jnp.ndarray, flag: jnp.ndarray,
+                   triple_weight: float = 1.0,
+                   truncate_backward: bool = True) -> jnp.ndarray:
+    """Single-sample IPSR attention.  feat/ref [H,W,C], flag [H*W] (1=masked)."""
+    out, _ = _attention_core(feat, ref, flag)
+    return out
+
+
+def _ipsr_fwd(feat, ref, flag, triple_weight, truncate_backward):
+    out, kbar = _attention_core(feat, ref, flag)
+    K = jnp.trunc(kbar) if truncate_backward else kbar
+    return out, (K, feat.shape, flag.shape)
+
+
+def _ipsr_bwd(triple_weight, truncate_backward, res, g):
+    K, shape, flag_shape = res
+    h, w, c = shape
+    gf = g.reshape(h * w, c)
+    # grad at patch/position p: g[p] + tw * sum_q K[q, p] * g[q]
+    # (reference backward, IPSRFunction.py:160-173).
+    extra = jnp.dot(K.T, gf, preferred_element_type=jnp.float32).astype(g.dtype)
+    grad_feat = (gf + triple_weight * extra).reshape(h, w, c)
+    return (grad_feat, jnp.zeros(shape, g.dtype),
+            jnp.zeros(flag_shape, g.dtype))
+
+
+ipsr_attention.defvjp(_ipsr_fwd, _ipsr_bwd)
+
+
+def ipsr_attention_batched(feat: jnp.ndarray, ref: jnp.ndarray,
+                           flag: jnp.ndarray, triple_weight: float = 1.0,
+                           truncate_backward: bool = True) -> jnp.ndarray:
+    """Batched attention: feat/ref [B,H,W,C], flag [B, H*W].
+
+    The reference hard-requires batch size 1 (models/IPSR.py:35-36, a Python
+    loop over the batch in IPSRFunction.py:46); here per-sample masks batch
+    via vmap.
+    """
+    return jax.vmap(
+        lambda f, r, m: ipsr_attention(f, r, m, triple_weight,
+                                       truncate_backward)
+    )(feat, ref, flag)
+
+
+def attention_matrix(feat: jnp.ndarray, ref: jnp.ndarray,
+                     flag: jnp.ndarray) -> jnp.ndarray:
+    """Expose kbar [N_pos, N_patch] for tests/visualization."""
+    _, kbar = _attention_core(feat, ref, flag)
+    return kbar
