@@ -1,0 +1,64 @@
+"""Discriminators: image PatchGAN (netD) and VGG-feature PatchGAN (netF).
+
+Parity targets:
+  * NLayerDiscriminator — models/networks.py:459-503.  n_layers=3 hardcoded
+    at the define_D call site (networks.py:112).  With InstanceNorm the
+    convs keep their bias (use_bias=True, networks.py:462-465).
+    2,766,529 params at ndf=64 (train.ipynb cell-1 output).
+  * PFDiscriminator — models/networks.py:504-520: three Conv4x4 s2 layers
+    256->512->512->512 on VGG relu3_3 features, middle InstanceNorm is
+    affine=False (plain nn.InstanceNorm2d default).  10,487,296 params.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ..ops.convs import InstanceNorm, TorchConv, instance_norm, leaky_relu
+
+
+class NLayerDiscriminator(nn.Module):
+    """70x70-receptive-field PatchGAN on images."""
+    input_nc: int = 3
+    ndf: int = 64
+    n_layers: int = 3
+    use_sigmoid: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        y = TorchConv(self.ndf, 4, stride=2, padding=1, name="conv0")(x)
+        y = leaky_relu(y, 0.2)
+        nf = 1
+        for n in range(1, self.n_layers):
+            nf = min(2 ** n, 8)
+            y = TorchConv(self.ndf * nf, 4, stride=2, padding=1,
+                          name=f"conv{n}")(y)
+            y = InstanceNorm(name=f"norm{n}")(y)
+            y = leaky_relu(y, 0.2)
+        nf = min(2 ** self.n_layers, 8)
+        y = TorchConv(self.ndf * nf, 4, stride=1, padding=1,
+                      name=f"conv{self.n_layers}")(y)
+        y = InstanceNorm(name=f"norm{self.n_layers}")(y)
+        y = leaky_relu(y, 0.2)
+        y = TorchConv(1, 4, stride=1, padding=1, name="head")(y)
+        if self.use_sigmoid:
+            y = nn.sigmoid(y)
+        return y
+
+
+class PFDiscriminator(nn.Module):
+    """Feature PatchGAN on VGG relu3_3 features (256 channels in)."""
+
+    @nn.compact
+    def __call__(self, x):
+        y = TorchConv(512, 4, stride=2, padding=1, name="conv0")(x)
+        y = leaky_relu(y, 0.2)
+        y = TorchConv(512, 4, stride=2, padding=1, name="conv1")(y)
+        # affine=False InstanceNorm: normalize only, no learned scale/offset
+        mean = jnp.mean(y, axis=(1, 2), keepdims=True)
+        var = jnp.mean(jnp.square(y - mean), axis=(1, 2), keepdims=True)
+        y = (y - mean) / jnp.sqrt(var + 1e-5)
+        y = leaky_relu(y, 0.2)
+        y = TorchConv(512, 4, stride=2, padding=1, name="conv2")(y)
+        return y

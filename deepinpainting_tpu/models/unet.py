@@ -1,0 +1,91 @@
+"""Rough-stage U-Net generator (netP) — pix2pix `unet_256`.
+
+Capability parity with models/networks.py:371-452 (UnetGenerator +
+UnetSkipConnectionBlock): 8 downsampling levels, down = LeakyReLU(0.2) ->
+Conv4x4 s2 p1 -> InstanceNorm, up = ReLU -> ConvT4x4 s2 p1 -> InstanceNorm,
+outermost ends in Tanh, skips are channel concats [up(x), x], size mismatch
+fixed with bilinear resize (networks.py:450-451).  Channels
+64->128->256->512x4; Dropout(0.5) in the three middle 512-blocks when
+use_dropout (networks.py:378-379).  54,419,459 params at default widths
+(train.ipynb cell-1 output).
+
+TPU-native: NHWC activations, pure functional linen modules — no Sequential,
+no stateful registries.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ..ops.convs import (InstanceNorm, TorchConv, TorchConvTranspose,
+                         bilinear_resize, leaky_relu)
+
+
+class UnetSkipBlock(nn.Module):
+    """One skip level of the rough U-Net (networks.py:395-452)."""
+    outer_nc: int
+    inner_nc: int
+    input_nc: Optional[int] = None
+    submodule: Optional[nn.Module] = None
+    outermost: bool = False
+    innermost: bool = False
+    use_dropout: bool = False
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        input_nc = self.input_nc if self.input_nc is not None else self.outer_nc
+
+        # ---- down ----
+        y = x
+        if not self.outermost:
+            y = leaky_relu(y, 0.2)
+        y = TorchConv(self.inner_nc, 4, stride=2, padding=1, name="down_conv")(y)
+        if not (self.outermost or self.innermost):
+            y = InstanceNorm(name="down_norm")(y)
+
+        # ---- submodule ----
+        if self.submodule is not None:
+            y = self.submodule(y, train=train)
+
+        # ---- up ----
+        y = nn.relu(y)
+        y = TorchConvTranspose(self.outer_nc, 4, stride=2, padding=1,
+                               name="up_conv")(y)
+        if self.outermost:
+            return jnp.tanh(y)
+        y = InstanceNorm(name="up_norm")(y)
+        if self.use_dropout:
+            y = nn.Dropout(0.5, deterministic=not train)(y)
+
+        if y.shape[1:3] != x.shape[1:3]:
+            y = bilinear_resize(y, x.shape[1], x.shape[2])
+        return jnp.concatenate([y, x], axis=-1)
+
+
+class UnetGenerator(nn.Module):
+    """`unet_256` rough generator (networks.py:371-388)."""
+    input_nc: int = 3
+    output_nc: int = 3
+    num_downs: int = 8
+    ngf: int = 64
+    use_dropout: bool = False
+
+    def setup(self):
+        ngf = self.ngf
+        block = UnetSkipBlock(ngf * 8, ngf * 8, innermost=True)
+        for _ in range(self.num_downs - 5):
+            block = UnetSkipBlock(ngf * 8, ngf * 8, submodule=block,
+                                  use_dropout=self.use_dropout)
+        block = UnetSkipBlock(ngf * 4, ngf * 8, submodule=block)
+        block = UnetSkipBlock(ngf * 2, ngf * 4, submodule=block)
+        block = UnetSkipBlock(ngf, ngf * 2, submodule=block)
+        self.model = UnetSkipBlock(self.output_nc, ngf,
+                                   input_nc=self.input_nc, submodule=block,
+                                   outermost=True)
+
+    def __call__(self, x, *, train: bool = False):
+        """x: [B, H, W, input_nc] in [-1, 1] -> [B, H, W, output_nc]."""
+        return self.model(x, train=train)

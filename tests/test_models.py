@@ -1,0 +1,116 @@
+"""Network zoo: shapes, exact parameter-count parity, jit/grad sanity."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from deepinpainting_tpu.models import (NLayerDiscriminator, PFDiscriminator,
+                                       UnetGenerator, UnetGeneratorIPSR,
+                                       Vgg16)
+
+
+def n_params(tree):
+    return sum(int(np.prod(x.shape)) for x in jax.tree_util.tree_leaves(tree))
+
+
+@pytest.fixture(scope="module")
+def rng():
+    return jax.random.PRNGKey(0)
+
+
+def test_unet_p_param_count_and_shape(rng):
+    # 54,419,459 params — train.ipynb cell-1 saved output for netP.
+    model = UnetGenerator()
+    x = jnp.zeros((1, 256, 256, 3))
+    params = model.init(rng, x)
+    assert n_params(params) == 54_419_459
+    y = model.apply(params, x)
+    assert y.shape == (1, 256, 256, 3)
+    assert float(jnp.abs(y).max()) <= 1.0  # tanh output
+
+
+def test_unet_g_param_count_and_shape(rng):
+    # 77,692,291 params — train.ipynb cell-1 saved output for netG.
+    model = UnetGeneratorIPSR()
+    x = jnp.zeros((1, 256, 256, 6))
+    ref_feat = jnp.zeros((1, 32, 32, 512))
+    flag = jnp.zeros((1, 1024))
+    params = model.init(rng, x, ref_feat, flag)
+    assert n_params(params) == 77_692_291
+    y, taps = model.apply(params, x, ref_feat, flag)
+    assert y.shape == (1, 256, 256, 3)
+    assert taps["inner_cos"].shape == (1, 32, 32, 512)
+    assert taps["inner_cos2"].shape == (1, 32, 32, 512)
+
+
+def test_netd_param_count_and_shape(rng):
+    # 2,766,529 params — train.ipynb cell-1 saved output for netD.
+    model = NLayerDiscriminator()
+    x = jnp.zeros((1, 256, 256, 3))
+    params = model.init(rng, x)
+    assert n_params(params) == 2_766_529
+    y = model.apply(params, x)
+    # 256 -> 128 -> 64 -> 32 -> 31 -> 30 patch logits
+    assert y.shape == (1, 30, 30, 1)
+
+
+def test_netf_param_count_and_shape(rng):
+    # 10,487,296 params — train.ipynb cell-1 saved output for netF.
+    model = PFDiscriminator()
+    x = jnp.zeros((1, 32, 32, 256))
+    params = model.init(rng, x)
+    assert n_params(params) == 10_487_296
+    y = model.apply(params, x)
+    assert y.shape == (1, 4, 4, 512)
+
+
+def test_vgg16_shapes_and_param_count(rng):
+    model = Vgg16()
+    x = jnp.zeros((1, 256, 256, 3))
+    params = model.init(rng, x)
+    # conv1..conv4_3 of torchvision vgg16.features: 7,635,264 params.
+    expected = 0
+    cin = 3
+    for cout in [64, 64, 128, 128, 256, 256, 256, 512, 512, 512]:
+        expected += 3 * 3 * cin * cout + cout
+        cin = cout
+    assert n_params(params) == expected
+    f = model.apply(params, x)
+    assert f.relu1_2.shape == (1, 128, 128, 64)
+    assert f.relu2_2.shape == (1, 64, 64, 128)
+    assert f.relu3_3.shape == (1, 32, 32, 256)   # netF input
+    assert f.relu4_3.shape == (1, 32, 32, 512)   # attention ref
+
+
+def test_unet_g_small_grad_flows(rng):
+    # Tiny config: 64px, ngf=8 -> attention at 8x8 with 64-pos flags.
+    model = UnetGeneratorIPSR(ngf=8, num_downs=6)
+    x = jnp.ones((1, 64, 64, 6)) * 0.1
+    ref_feat = jax.random.normal(rng, (1, 8, 8, 64))
+    flag = jnp.zeros((1, 64)).at[:, 20:30].set(1.0)
+    params = model.init(rng, x, ref_feat, flag)
+
+    def loss(p):
+        y, taps = model.apply(p, x, ref_feat, flag)
+        return jnp.mean(y ** 2) + jnp.mean(taps["inner_cos"] ** 2)
+
+    g = jax.grad(loss)(params)
+    gnorm = sum(float(jnp.abs(l).sum()) for l in jax.tree_util.tree_leaves(g))
+    assert np.isfinite(gnorm) and gnorm > 0
+
+
+def test_unet_p_dropout_active_only_in_train(rng):
+    model = UnetGenerator(use_dropout=True)
+    x = jax.random.normal(rng, (1, 64, 64, 3))
+    # num_downs=8 needs 256px; use small net instead
+    model = UnetGenerator(use_dropout=True, num_downs=6)
+    params = model.init(rng, x)
+    y1 = model.apply(params, x, train=False)
+    y2 = model.apply(params, x, train=False)
+    np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))
+    d1 = model.apply(params, x, train=True,
+                     rngs={"dropout": jax.random.PRNGKey(1)})
+    d2 = model.apply(params, x, train=True,
+                     rngs={"dropout": jax.random.PRNGKey(2)})
+    assert float(jnp.abs(d1 - d2).max()) > 0
