@@ -86,6 +86,7 @@ class Config:
     dtype: str = "float32"         # activation compute dtype: 'float32' | 'bfloat16'
     seed: int = 0
     vgg_weights: str = "random"    # 'random' or a path to a converted .npz
+    vgg_width_scale: float = 1.0   # <1 only for scaled-down test configs
     data_axis: str = "data"        # mesh axis name for data parallelism
 
     # ------------------------------------------------------------------------

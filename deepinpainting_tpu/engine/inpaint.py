@@ -1,0 +1,321 @@
+"""The inpainting engine: pure-functional two-stage forward, GAN train step,
+and eval step.
+
+Capability parity with the reference trainer models/IPSR.py (the `IPSR`
+BaseModel subclass).  The reference drives four stateful networks with
+side-channel mask/ref/target registries (models/IPSR.py:155-189); here one
+jitted function takes (state, batch, rng) and returns (state, metrics) —
+every intermediate is a value.
+
+Reference-faithful data flow (incl. the aliasing the reference creates by
+in-place masked_fill on `real_A` during forward, models/IPSR.py:172-176):
+
+  netP input  : gt with the hole filled by fixed ImageNet-mean constants
+                (models/IPSR.py:148-150)
+  compose     : Syn = stop_grad(fake_P) * mask + gt * (1-mask)
+                (Unknowregion/knownregion via .data — detached from netP)
+  netG input  : concat([Syn, gt * (1-mask)], channels) — the second half is
+                the *zero*-holed image because the reference's
+                `masked_fill_(ex_mask, 0)` mutates the aliased input_A in
+                place before the concat (models/IPSR.py:173-176)
+  D step first, then G step against the *updated* discriminators
+                (models/IPSR.py:267-278: backward_D, D/F step, backward_G)
+  G's feature-GAN branch is constant w.r.t. G: the reference feeds
+                vgg(fake_B.data) computed in backward_D (models/IPSR.py:212,236)
+  InnerCos losses are added to loss_G as detached values (models/
+                IPSR.py:255-263) — they contribute no gradients in faithful
+                mode (cfg.faithful_detached_cosis); corrected mode makes
+                them differentiable.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax import lax
+
+from ..config import Config
+from ..losses import inner_cos_loss, l1_loss, ra_gan_loss
+from ..models.discriminators import NLayerDiscriminator, PFDiscriminator
+from ..models.unet import UnetGenerator
+from ..models.unet_ipsr import UnetGeneratorIPSR
+from ..models.vgg16 import Vgg16, apply_vgg16, vgg16_params
+from ..ops import masks as M
+from .state import TrainState, create_train_state, make_optimizer
+
+
+class Models(NamedTuple):
+    G: UnetGeneratorIPSR
+    P: UnetGenerator
+    D: NLayerDiscriminator
+    F: PFDiscriminator
+
+
+def build_models(cfg: Config) -> Models:
+    """Network factory — the role of define_G/define_D (networks.py:81-119).
+
+    Only the reference's shipped architecture names are supported; unknown
+    names raise, mirroring networks.py:96-97,115-117.
+    """
+    if cfg.which_model_netG != "unet_ipsr":
+        raise NotImplementedError(cfg.which_model_netG)
+    if cfg.which_model_netP != "unet_256":
+        raise NotImplementedError(cfg.which_model_netP)
+    if cfg.which_model_netD != "basic":
+        raise NotImplementedError(cfg.which_model_netD)
+    if cfg.which_model_netF != "feature":
+        raise NotImplementedError(cfg.which_model_netF)
+    # unet_256 geometry generalized: one skip level per halving down to 1x1,
+    # which keeps the attention level at fine_size/8 (networks.py:195 comment
+    # notes the same depth rule for 512).
+    import math
+    num_downs = max(6, int(math.log2(cfg.fine_size)))
+    feat_c = max(1, int(512 * cfg.vgg_width_scale))
+    if cfg.ngf * 8 != feat_c:
+        raise ValueError(
+            f"attention requires ngf*8 ({cfg.ngf * 8}) == VGG relu4_3 "
+            f"channels ({feat_c}); adjust ngf or vgg_width_scale")
+    use_sigmoid = cfg.gan_type == "vanilla"  # models/IPSR.py:58-61
+    return Models(
+        G=UnetGeneratorIPSR(input_nc=cfg.input_nc_g, output_nc=cfg.output_nc,
+                            num_downs=num_downs, ngf=cfg.ngf,
+                            use_dropout=cfg.use_dropout,
+                            triple_weight=cfg.triple_weight,
+                            truncate_backward=cfg.faithful_backward_truncation),
+        P=UnetGenerator(input_nc=cfg.input_nc, output_nc=cfg.output_nc,
+                        num_downs=num_downs, ngf=cfg.ngf,
+                        use_dropout=cfg.use_dropout),
+        D=NLayerDiscriminator(input_nc=cfg.input_nc, ndf=cfg.ndf,
+                              use_sigmoid=use_sigmoid),
+        F=PFDiscriminator(width=max(1, int(512 * cfg.vgg_width_scale))),
+    )
+
+
+def init_params(cfg: Config, rng: jax.Array) -> Dict[str, Any]:
+    models = build_models(cfg)
+    kG, kP, kD, kF, kV = jax.random.split(rng, 5)
+    s = cfg.fine_size
+    fs = s // 8
+    c4 = max(1, int(512 * cfg.vgg_width_scale))
+    c3 = max(1, int(256 * cfg.vgg_width_scale))
+    x6 = jnp.zeros((1, s, s, cfg.input_nc_g))
+    x3 = jnp.zeros((1, s, s, cfg.input_nc))
+    ref_feat = jnp.zeros((1, fs, fs, c4))
+    flag = jnp.zeros((1, fs * fs))
+    feat3 = jnp.zeros((1, fs, fs, c3))
+    return {
+        "G": models.G.init(kG, x6, ref_feat, flag)["params"],
+        "P": models.P.init(kP, x3)["params"],
+        "D": models.D.init(kD, x3)["params"],
+        "F": models.F.init(kF, feat3)["params"],
+        "vgg": vgg16_params(cfg.vgg_weights, kV, cfg.vgg_width_scale),
+    }
+
+
+def create_state(cfg: Config, rng: jax.Array) -> TrainState:
+    return create_train_state(cfg, init_params(cfg, rng))
+
+
+# ---------------------------------------------------------------------------
+# input preparation (set_input / set_latent_mask equivalents)
+# ---------------------------------------------------------------------------
+
+def prepare_masks(cfg: Config, mask: jnp.ndarray
+                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """mask: [B,H,W] float 1=hole.  Returns (feat_mask [B,h,w], flag [B,h*w])
+    — models/IPSR.py:155-158 pushing cal_feat_mask into the three layers."""
+    fmask = jax.vmap(lambda m: M.feat_mask(m, 3, cfg.threshold))(mask)
+    flag = jax.vmap(lambda f: M.patch_flags(f, cfg.shift_sz, cfg.stride,
+                                            cfg.mask_thred))(fmask)
+    return fmask, flag
+
+
+def resolve_mask(cfg: Config, mask: jnp.ndarray) -> jnp.ndarray:
+    """mask_type dispatch (models/IPSR.py:136-143): 'center' ignores the
+    input mask and uses the fixed center square; 'random' uses it as-is."""
+    if cfg.mask_type == "center":
+        b, h, w = mask.shape
+        return jnp.broadcast_to(M.center_mask(cfg.fine_size, cfg.overlap),
+                                (b, h, w))
+    if cfg.mask_type == "random":
+        return mask
+    raise ValueError(f"mask_type {cfg.mask_type!r} not recognized")
+
+
+class ForwardOut(NamedTuple):
+    fake_P: jnp.ndarray
+    fake_B: jnp.ndarray
+    taps: Dict[str, jnp.ndarray]
+    masked_mean: jnp.ndarray   # netP input (real_A pre-aliasing)
+    known: jnp.ndarray         # zero-holed gt (post-aliasing real_A)
+    syn: jnp.ndarray
+
+
+def two_stage_forward(models: Models, params_G, params_P, gt, mask,
+                      ref_feat, flag, *, train: bool, rng: jax.Array
+                      ) -> ForwardOut:
+    """Full two-stage forward (models/IPSR.py:168-182)."""
+    masked_mean = M.fill_hole_with_mean(gt, mask)
+    rng_p, rng_g = jax.random.split(rng)
+    fake_P = models.P.apply({"params": params_P}, masked_mean, train=train,
+                            rngs={"dropout": rng_p} if train else {})
+    known = M.zero_hole(gt, mask)
+    m = mask[..., None]
+    syn = lax.stop_gradient(fake_P) * m + known          # IPSR.py:172-175
+    middle = jnp.concatenate([syn, known], axis=-1)      # IPSR.py:176 (aliased)
+    fake_B, taps = models.G.apply(
+        {"params": params_G}, middle, ref_feat, flag, train=train,
+        rngs={"dropout": rng_g} if train else {})
+    return ForwardOut(fake_P, fake_B, taps, masked_mean, known, syn)
+
+
+# ---------------------------------------------------------------------------
+# train / eval steps
+# ---------------------------------------------------------------------------
+
+def make_train_step(cfg: Config):
+    """Build the jittable train step: optimize_parameters parity
+    (models/IPSR.py:267-278) — D/F update first, then G/P against the
+    updated discriminators."""
+    models = build_models(cfg)
+    tx = make_optimizer(cfg)
+
+    def train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
+                   rng: jax.Array):
+        gt = batch["image"]
+        ref = batch["ref"]
+        mask = resolve_mask(cfg, batch["mask"])
+        fmask, flag = prepare_masks(cfg, mask)
+
+        vgg_ref = apply_vgg16(state.vgg, ref, cfg.vgg_width_scale)            # set_ref_latent
+        vgg_gt = apply_vgg16(state.vgg, gt, cfg.vgg_width_scale)              # set_gt_latent
+        ref_feat = vgg_ref.relu4_3
+        gt_target = vgg_gt.relu4_3
+
+        fwd = two_stage_forward(models, state.params_G, state.params_P,
+                                gt, mask, ref_feat, flag, train=True, rng=rng)
+        fake_B_const = lax.stop_gradient(fwd.fake_B)
+        vgg_fake = apply_vgg16(state.vgg, fake_B_const, cfg.vgg_width_scale)  # IPSR.py:212
+
+        # ---- D / F phase (backward_D, models/IPSR.py:209-231) ----
+        def d_loss_fn(params_D, params_F):
+            pred_fake = models.D.apply({"params": params_D}, fake_B_const)
+            pred_real = models.D.apply({"params": params_D}, gt)
+            loss_D_img = ra_gan_loss(pred_fake, pred_real, True, cfg.gan_type)
+            pred_fake_f = models.F.apply({"params": params_F},
+                                         lax.stop_gradient(vgg_fake.relu3_3))
+            pred_real_f = models.F.apply({"params": params_F},
+                                         vgg_gt.relu3_3)
+            loss_F_feat = ra_gan_loss(pred_fake_f, pred_real_f, True,
+                                      cfg.gan_type)
+            return 0.5 * loss_D_img + 0.5 * loss_F_feat, (loss_D_img,
+                                                          loss_F_feat)
+
+        (_, (loss_D_img, loss_F_feat)), (gD, gF) = jax.value_and_grad(
+            d_loss_fn, argnums=(0, 1), has_aux=True)(
+                state.params_D, state.params_F)
+        updD, optD = tx.update(gD, state.opt_D, state.params_D)
+        updF, optF = tx.update(gF, state.opt_F, state.params_F)
+        new_D = optax.apply_updates(state.params_D, updD)
+        new_F = optax.apply_updates(state.params_F, updF)
+
+        # ---- G / P phase (backward_G, models/IPSR.py:233-265) ----
+        def g_loss_fn(params_G, params_P):
+            out = two_stage_forward(models, params_G, params_P, gt, mask,
+                                    ref_feat, flag, train=True, rng=rng)
+            pred_fake = models.D.apply({"params": new_D}, out.fake_B)
+            pred_real = models.D.apply({"params": new_D}, gt)
+            # feature branch is constant w.r.t. G (vgg of detached fake_B)
+            pred_fake_f = models.F.apply({"params": new_F}, vgg_fake.relu3_3)
+            pred_real_f = models.F.apply({"params": new_F}, vgg_gt.relu3_3)
+            loss_G_GAN = (ra_gan_loss(pred_fake, pred_real, False, cfg.gan_type)
+                          + ra_gan_loss(pred_fake_f, pred_real_f, False,
+                                        cfg.gan_type))
+            loss_G_L1 = (l1_loss(out.fake_B, gt)
+                         + l1_loss(out.fake_P, gt)) * cfg.lambda_A
+            loss_G = loss_G_L1 + loss_G_GAN * cfg.gan_weight
+            cos = jnp.zeros(())
+            if cfg.cosis and not cfg.skip:
+                cos1 = inner_cos_loss(out.taps["inner_cos"], fmask,
+                                      gt_target, cfg.strength)
+                cos2 = inner_cos_loss(out.taps["inner_cos2"], fmask,
+                                      gt_target, cfg.strength)
+                cos = cos1 + cos2
+                if cfg.faithful_detached_cosis:
+                    cos = lax.stop_gradient(cos)  # IPSR.py:255-263
+                loss_G = loss_G + cos
+            return loss_G, (loss_G_GAN, loss_G_L1, cos)
+
+        (_, (loss_G_GAN, loss_G_L1, loss_cos)), (gG, gP) = jax.value_and_grad(
+            g_loss_fn, argnums=(0, 1), has_aux=True)(
+                state.params_G, state.params_P)
+        updG, optG = tx.update(gG, state.opt_G, state.params_G)
+        updP, optP = tx.update(gP, state.opt_P, state.params_P)
+        new_G = optax.apply_updates(state.params_G, updG)
+        new_P = optax.apply_updates(state.params_P, updP)
+
+        new_state = state.replace(
+            step=state.step + 1,
+            params_G=new_G, params_P=new_P, params_D=new_D, params_F=new_F,
+            opt_G=optG, opt_P=optP, opt_D=optD, opt_F=optF)
+        # get_current_errors parity (models/IPSR.py:281-286) + extras
+        metrics = {
+            "G_GAN": loss_G_GAN, "G_L1": loss_G_L1,
+            "D": loss_D_img, "F": loss_F_feat, "cosis": loss_cos,
+            # validation-style L1 ("GAN" in get_loss, models/IPSR.py:205-207)
+            "loss": loss_G_L1,
+        }
+        return new_state, metrics
+
+    return train_step
+
+
+def make_eval_step(cfg: Config):
+    """model.test() parity (models/IPSR.py:192-207): deterministic forward,
+    plus the GAN-style error (loss_IPSR) and the L1 validation loss."""
+    models = build_models(cfg)
+
+    def eval_step(state: TrainState, batch: Dict[str, jnp.ndarray]):
+        gt = batch["image"]
+        ref = batch["ref"]
+        mask = resolve_mask(cfg, batch["mask"])
+        _, flag = prepare_masks(cfg, mask)
+        ref_feat = apply_vgg16(state.vgg, ref, cfg.vgg_width_scale).relu4_3
+        fwd = two_stage_forward(models, state.params_G, state.params_P,
+                                gt, mask, ref_feat, flag, train=False,
+                                rng=jax.random.PRNGKey(0))
+        # loss_IPSR = criterionGAN(real_B, fake_B, False) — IPSR.py:203
+        loss_ipsr = ra_gan_loss(gt, fwd.fake_B, False, cfg.gan_type)
+        loss_valid = (l1_loss(fwd.fake_B, gt)
+                      + l1_loss(fwd.fake_P, gt)) * cfg.lambda_A
+        visuals = {
+            # get_current_visuals parity (models/IPSR.py:288-295); real_A is
+            # the post-aliasing zero-holed input the reference would hold.
+            "real_A": fwd.known, "real_Ref": ref, "fake_B": fwd.fake_B,
+            "fake_P": fwd.fake_P, "real_B": gt,
+        }
+        return {"fake_B": fwd.fake_B, "fake_P": fwd.fake_P,
+                "loss_ipsr": loss_ipsr, "loss_valid": loss_valid,
+                "visuals": visuals}
+
+    return eval_step
+
+
+def make_inference_fn(cfg: Config):
+    """Minimal jittable inference: (state-params, gt, mask, ref) -> fake_B."""
+    models = build_models(cfg)
+
+    def infer(params_G, params_P, vgg, gt, mask, ref):
+        mask = resolve_mask(cfg, mask)
+        _, flag = prepare_masks(cfg, mask)
+        ref_feat = apply_vgg16(vgg, ref, cfg.vgg_width_scale).relu4_3
+        fwd = two_stage_forward(models, params_G, params_P, gt, mask,
+                                ref_feat, flag, train=False,
+                                rng=jax.random.PRNGKey(0))
+        return fwd.fake_B, fwd.fake_P
+
+    return infer

@@ -48,17 +48,21 @@ class NLayerDiscriminator(nn.Module):
 
 
 class PFDiscriminator(nn.Module):
-    """Feature PatchGAN on VGG relu3_3 features (256 channels in)."""
+    """Feature PatchGAN on VGG relu3_3 features (256 channels in).
+
+    width != 512 is used only by scaled-down test configs.
+    """
+    width: int = 512
 
     @nn.compact
     def __call__(self, x):
-        y = TorchConv(512, 4, stride=2, padding=1, name="conv0")(x)
+        y = TorchConv(self.width, 4, stride=2, padding=1, name="conv0")(x)
         y = leaky_relu(y, 0.2)
-        y = TorchConv(512, 4, stride=2, padding=1, name="conv1")(y)
+        y = TorchConv(self.width, 4, stride=2, padding=1, name="conv1")(y)
         # affine=False InstanceNorm: normalize only, no learned scale/offset
         mean = jnp.mean(y, axis=(1, 2), keepdims=True)
         var = jnp.mean(jnp.square(y - mean), axis=(1, 2), keepdims=True)
         y = (y - mean) / jnp.sqrt(var + 1e-5)
         y = leaky_relu(y, 0.2)
-        y = TorchConv(512, 4, stride=2, padding=1, name="conv2")(y)
+        y = TorchConv(self.width, 4, stride=2, padding=1, name="conv2")(y)
         return y

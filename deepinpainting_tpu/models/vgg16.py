@@ -56,14 +56,20 @@ def _max_pool_2x2(x):
 
 
 class Vgg16(nn.Module):
-    """Four-slice VGG16 feature extractor (NHWC)."""
+    """Four-slice VGG16 feature extractor (NHWC).
+
+    width_scale != 1 shrinks every channel count proportionally — used only
+    by scaled-down test configs (real weights require width_scale=1).
+    """
+    width_scale: float = 1.0
 
     @nn.compact
     def __call__(self, x) -> VggFeatures:
         feats = []
         y = x
         for si, convs in enumerate(_SLICES):
-            for name, cout in convs:
+            for name, c in convs:
+                cout = max(1, int(c * self.width_scale))
                 cin = y.shape[-1]
                 k = self.param(name + "_kernel", nn.initializers.he_normal(),
                                (3, 3, cin, cout))
@@ -75,9 +81,10 @@ class Vgg16(nn.Module):
         return VggFeatures(*feats)
 
 
-def init_vgg16(rng: jax.Array, dtype=jnp.float32) -> Dict[str, Any]:
+def init_vgg16(rng: jax.Array, dtype=jnp.float32,
+               width_scale: float = 1.0) -> Dict[str, Any]:
     """Deterministic random init (fallback when no pretrained npz exists)."""
-    model = Vgg16()
+    model = Vgg16(width_scale)
     variables = model.init(rng, jnp.zeros((1, 64, 64, 3), dtype))
     return variables["params"]
 
@@ -91,14 +98,17 @@ def load_params_npz(path: str) -> Dict[str, Any]:
     return {k: jnp.asarray(raw[k]) for k in raw.files}
 
 
-def vgg16_params(cfg_vgg_weights: str, rng: jax.Array) -> Dict[str, Any]:
+def vgg16_params(cfg_vgg_weights: str, rng: jax.Array,
+                 width_scale: float = 1.0) -> Dict[str, Any]:
     if cfg_vgg_weights and cfg_vgg_weights != "random":
+        assert width_scale == 1.0, "pretrained weights require full width"
         return load_params_npz(cfg_vgg_weights)
-    return init_vgg16(rng)
+    return init_vgg16(rng, width_scale=width_scale)
 
 
-def apply_vgg16(params: Dict[str, Any], images: jnp.ndarray) -> VggFeatures:
+def apply_vgg16(params: Dict[str, Any], images: jnp.ndarray,
+                width_scale: float = 1.0) -> VggFeatures:
     """images: [B,H,W,3] in [-1,1].  Gradients are blocked through the
     (frozen) VGG parameters but flow through `images`."""
     frozen = jax.tree_util.tree_map(lax.stop_gradient, params)
-    return Vgg16().apply({"params": frozen}, images)
+    return Vgg16(width_scale).apply({"params": frozen}, images)

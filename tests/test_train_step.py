@@ -1,0 +1,116 @@
+"""Training-step mechanics on a scaled-down config (CPU).
+
+Covers SURVEY.md §7.3 item 6: the D-then-G interleave, the stop_gradient
+boundaries (compose detaches netP; the feature-GAN branch and the InnerCos
+losses are constant w.r.t. G in faithful mode), and basic convergence of the
+L1 path.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from deepinpainting_tpu.config import Config
+from deepinpainting_tpu.engine import (create_state, make_eval_step,
+                                       make_train_step)
+
+TINY = Config(fine_size=64, ngf=8, ndf=8, batch_size=2, use_dropout=True,
+              vgg_width_scale=1 / 8, mask_type="random")
+
+
+def tiny_batch(seed=0, b=2, s=64):
+    rng = np.random.default_rng(seed)
+    img = rng.uniform(-1, 1, (b, s, s, 3)).astype(np.float32)
+    ref = rng.uniform(-1, 1, (b, s, s, 3)).astype(np.float32)
+    mask = np.zeros((b, s, s), np.float32)
+    mask[:, 16:48, 20:44] = 1.0
+    return {"image": jnp.asarray(img), "mask": jnp.asarray(mask),
+            "ref": jnp.asarray(ref)}
+
+
+def leaves_delta(a, b):
+    return sum(float(jnp.abs(x - y).sum()) for x, y in zip(
+        jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(b)))
+
+
+@pytest.fixture(scope="module")
+def state():
+    return create_state(TINY, jax.random.PRNGKey(0))
+
+
+def test_train_step_updates_all_networks(state):
+    step = jax.jit(make_train_step(TINY))
+    batch = tiny_batch()
+    new_state, metrics = step(state, batch, jax.random.PRNGKey(1))
+    for k in ["G_GAN", "G_L1", "D", "F", "cosis"]:
+        assert np.isfinite(float(metrics[k])), k
+    assert int(new_state.step) == 1
+    for net in ["params_G", "params_P", "params_D", "params_F"]:
+        assert leaves_delta(getattr(state, net), getattr(new_state, net)) > 0, net
+    # vgg stays frozen
+    assert leaves_delta(state.vgg, new_state.vgg) == 0
+
+
+def test_netp_gets_no_gan_gradient(state):
+    # With lambda_A=0 netP's only loss term vanishes; the compose step
+    # detaches fake_P (models/IPSR.py:172-175 .data), and in faithful mode
+    # the InnerCos terms are detached — so params_P must not move at all.
+    cfg = TINY.replace(lambda_A=0.0)
+    step = jax.jit(make_train_step(cfg))
+    new_state, _ = step(state, tiny_batch(), jax.random.PRNGKey(1))
+    assert leaves_delta(state.params_P, new_state.params_P) == 0
+    # G still moves (GAN image branch is live)
+    assert leaves_delta(state.params_G, new_state.params_G) > 0
+
+
+def test_detached_cosis_contributes_no_gradient(state):
+    # Faithful mode: InnerCos losses are values only (models/IPSR.py:255-263).
+    # Compare G updates with cosis on vs off under identical rngs: must match.
+    base = TINY.replace(gan_weight=0.0, lambda_A=0.0)
+    s_on, _ = jax.jit(make_train_step(base))(
+        state, tiny_batch(), jax.random.PRNGKey(3))
+    s_off, _ = jax.jit(make_train_step(base.replace(cosis=0)))(
+        state, tiny_batch(), jax.random.PRNGKey(3))
+    assert leaves_delta(s_on.params_G, s_off.params_G) == 0
+    # Corrected mode: the cosis gradient is live and changes the update.
+    s_corr, _ = jax.jit(make_train_step(
+        base.replace(faithful_detached_cosis=False)))(
+            state, tiny_batch(), jax.random.PRNGKey(3))
+    assert leaves_delta(s_corr.params_G, s_on.params_G) > 0
+
+
+def test_l1_descends_over_steps(state):
+    cfg = TINY.replace(gan_weight=0.0)
+    step = jax.jit(make_train_step(cfg))
+    batch = tiny_batch()
+    s = state
+    first = last = None
+    for i in range(8):
+        s, m = step(s, batch, jax.random.PRNGKey(10 + i))
+        if first is None:
+            first = float(m["G_L1"])
+        last = float(m["G_L1"])
+    assert last < first
+
+
+def test_eval_step_deterministic_and_shapes(state):
+    ev = jax.jit(make_eval_step(TINY))
+    batch = tiny_batch()
+    o1 = ev(state, batch)
+    o2 = ev(state, batch)
+    np.testing.assert_array_equal(np.asarray(o1["fake_B"]),
+                                  np.asarray(o2["fake_B"]))
+    assert o1["fake_B"].shape == (2, 64, 64, 3)
+    assert o1["fake_P"].shape == (2, 64, 64, 3)
+    assert np.isfinite(float(o1["loss_ipsr"]))
+    assert np.isfinite(float(o1["loss_valid"]))
+    assert set(o1["visuals"]) == {"real_A", "real_Ref", "fake_B", "fake_P",
+                                  "real_B"}
+
+
+def test_center_mask_type(state):
+    cfg = TINY.replace(mask_type="center")
+    ev = jax.jit(make_eval_step(cfg))
+    out = ev(state, tiny_batch())
+    assert np.isfinite(float(out["loss_valid"]))
