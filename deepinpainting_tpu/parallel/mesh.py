@@ -1,0 +1,78 @@
+"""Device-mesh data parallelism.
+
+The reference has no distributed support at all (SURVEY.md §2.4: single
+process, single GPU, batchSize=1, no torch.distributed/NCCL anywhere);
+multi-chip DP is a new first-class capability here.
+
+Design (scaling-book recipe): a 1-D mesh over all chips with axis
+`cfg.data_axis`; the batch is sharded over that axis, parameters and
+optimizer state are replicated, and the train step is `jit`-ed with those
+shardings — XLA inserts the gradient all-reduces (they ride ICI).  The
+models are <100M params (SURVEY.md §2.4), so TP/PP/EP would only add
+latency; DP is the whole story at this scale, with batch>1 per chip coming
+from the vmap-batched attention kernel.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import Config
+from .. import engine as E
+
+
+def make_mesh(devices: Optional[Sequence[jax.Device]] = None,
+              axis: str = "data") -> Mesh:
+    devices = list(devices) if devices is not None else jax.devices()
+    return Mesh(np.asarray(devices), (axis,))
+
+
+def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
+    return NamedSharding(mesh, P(axis))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: Dict[str, Any], mesh: Mesh,
+                axis: str = "data") -> Dict[str, Any]:
+    """Place a host batch with the leading axis split across the mesh."""
+    sh = batch_sharding(mesh, axis)
+    return {k: jax.device_put(v, sh) for k, v in batch.items()}
+
+
+def replicate_state(state, mesh: Mesh):
+    return jax.device_put(state, replicated(mesh))
+
+
+def make_dp_train_step(cfg: Config, mesh: Mesh):
+    """Data-parallel train step: params/opt replicated, batch sharded.
+
+    The per-batch mean reductions inside the losses become cross-chip
+    all-reduces under SPMD partitioning — the role NCCL gradient all-reduce
+    plays in torch DDP, played here by XLA collectives over ICI.
+    """
+    step = E.make_train_step(cfg)
+    rep = replicated(mesh)
+    bsh = batch_sharding(mesh, cfg.data_axis)
+    return jax.jit(
+        step,
+        in_shardings=(rep, {"image": bsh, "mask": bsh, "ref": bsh}, rep),
+        out_shardings=(rep, rep),
+        donate_argnums=(0,),
+    )
+
+
+def make_dp_eval_step(cfg: Config, mesh: Mesh):
+    step = E.make_eval_step(cfg)
+    rep = replicated(mesh)
+    bsh = batch_sharding(mesh, cfg.data_axis)
+    return jax.jit(
+        step,
+        in_shardings=(rep, {"image": bsh, "mask": bsh, "ref": bsh}),
+    )
