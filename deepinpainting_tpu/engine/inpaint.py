@@ -97,23 +97,36 @@ def build_models(cfg: Config) -> Models:
 
 def init_params(cfg: Config, rng: jax.Array) -> Dict[str, Any]:
     models = build_models(cfg)
-    kG, kP, kD, kF, kV = jax.random.split(rng, 5)
     s = cfg.fine_size
     fs = s // 8
     c4 = max(1, int(512 * cfg.vgg_width_scale))
     c3 = max(1, int(256 * cfg.vgg_width_scale))
-    x6 = jnp.zeros((1, s, s, cfg.input_nc_g))
-    x3 = jnp.zeros((1, s, s, cfg.input_nc))
-    ref_feat = jnp.zeros((1, fs, fs, c4))
-    flag = jnp.zeros((1, fs * fs))
-    feat3 = jnp.zeros((1, fs, fs, c3))
-    return {
-        "G": models.G.init(kG, x6, ref_feat, flag)["params"],
-        "P": models.P.init(kP, x3)["params"],
-        "D": models.D.init(kD, x3)["params"],
-        "F": models.F.init(kF, feat3)["params"],
-        "vgg": vgg16_params(cfg.vgg_weights, kV, cfg.vgg_width_scale),
-    }
+
+    # One jitted init for everything: eager flax init would dispatch every
+    # parameter op individually (very slow over a remote-TPU tunnel).
+    @jax.jit
+    def _init(rng):
+        kG, kP, kD, kF, kV = jax.random.split(rng, 5)
+        x6 = jnp.zeros((1, s, s, cfg.input_nc_g))
+        x3 = jnp.zeros((1, s, s, cfg.input_nc))
+        ref_feat = jnp.zeros((1, fs, fs, c4))
+        flag = jnp.zeros((1, fs * fs))
+        feat3 = jnp.zeros((1, fs, fs, c3))
+        from ..models.vgg16 import init_vgg16
+        return {
+            "G": models.G.init(kG, x6, ref_feat, flag)["params"],
+            "P": models.P.init(kP, x3)["params"],
+            "D": models.D.init(kD, x3)["params"],
+            "F": models.F.init(kF, feat3)["params"],
+            "vgg": init_vgg16(kV, width_scale=cfg.vgg_width_scale),
+        }
+
+    params = _init(rng)
+    if cfg.vgg_weights and cfg.vgg_weights != "random":
+        params = dict(params)
+        params["vgg"] = vgg16_params(cfg.vgg_weights, rng,
+                                     cfg.vgg_width_scale)
+    return params
 
 
 def create_state(cfg: Config, rng: jax.Array) -> TrainState:
