@@ -50,7 +50,11 @@ def _enable_compile_cache():
         pass
 
 
-def measure_ours(batch_sizes=(1, 8), size=256, iters=16):
+def measure_ours(batch_sizes=(8,), size=256, iters=16):
+    # One batch size by default: each jit variant costs ~4 min of (remote)
+    # TPU compile in this environment and the persistent cache cannot
+    # capture remote-compiled executables.  batch=8 is the throughput
+    # configuration; see BENCH_NOTES.md for the batch sweep.
     import jax
     import jax.numpy as jnp
     from deepinpainting_tpu.config import Config
