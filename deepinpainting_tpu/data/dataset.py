@@ -1,0 +1,103 @@
+"""Host image dataset: (gt, mask, ref) triples.
+
+Capability parity with util/data_load.py:7-35 (Data_load) and its
+byte-identical validation twin util/ref_data_load.py (Ref_Data_load):
+  * images/refs globbed as `*.jpg` (plus `*.png`, which the app.py serving
+    path relies on for uploaded PNGs — app.py:126-140 reuses Data_load on
+    upload dirs), masks as `*.png`
+  * gt:  Resize(fineSize) + Normalize(0.5,0.5)
+  * mask: an independently RANDOM mask file per item (data_load.py:27),
+    resized, channel 0, float in [0,1] with 1 = hole
+  * ref: RandomResizedCrop(scale 0.8-1.0, ratio 1:1) + ColorJitter(0.1 x4)
+    + Normalize (train.ipynb cell 1 transform_ref)
+
+Returns NHWC float32 numpy — device placement happens in the iterator.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from typing import Dict, Optional
+
+import numpy as np
+from PIL import Image
+
+from . import transforms as T
+
+
+def _glob_images(root: str, patterns=("*.jpg", "*.png")):
+    paths = []
+    for p in patterns:
+        paths.extend(glob.glob(os.path.join(root, p)))
+    return sorted(paths)
+
+
+class InpaintDataset:
+    def __init__(self, img_root: str, mask_root: str, ref_root: str,
+                 fine_size: int = 256, *, augment_ref: bool = True,
+                 seed: int = 0, mask_per_index: bool = False):
+        self.paths = _glob_images(img_root)
+        self.ref_paths = _glob_images(ref_root)
+        self.mask_paths = _glob_images(mask_root, ("*.png", "*.jpg"))
+        if not self.paths:
+            raise FileNotFoundError(f"no images under {img_root}")
+        if not self.mask_paths:
+            raise FileNotFoundError(f"no masks under {mask_root}")
+        if not self.ref_paths:
+            raise FileNotFoundError(f"no refs under {ref_root}")
+        self.fine_size = fine_size
+        self.augment_ref = augment_ref
+        # mask_per_index=True gives deterministic eval (mask i for image i);
+        # False is reference behavior (random mask per fetch).
+        self.mask_per_index = mask_per_index
+        self.rng = np.random.default_rng(seed)
+
+    def __len__(self) -> int:
+        return len(self.paths)
+
+    def _load_rgb(self, path: str) -> Image.Image:
+        return Image.open(path).convert("RGB")
+
+    def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
+        s = self.fine_size
+        gt = self._load_rgb(self.paths[index]).resize((s, s), Image.BILINEAR)
+
+        if self.mask_per_index:
+            mpath = self.mask_paths[index % len(self.mask_paths)]
+        else:
+            mpath = self.mask_paths[
+                int(self.rng.integers(0, len(self.mask_paths)))]
+        mask_img = self._load_rgb(mpath).resize((s, s), Image.BILINEAR)
+        # .bool() semantics of the reference driver (train.ipynb cell 2:
+        # `mask.bool()`): any nonzero pixel is fully hole, so fractional
+        # bilinear edges binarize up rather than blending.
+        mask = (np.asarray(mask_img, np.float32)[..., 0] > 0).astype(
+            np.float32)
+
+        ref = self._load_rgb(self.ref_paths[index % len(self.ref_paths)])
+        if self.augment_ref:
+            ref = T.random_resized_crop(self.rng, ref, s)
+            ref = T.color_jitter(self.rng, ref)
+        else:
+            ref = ref.resize((s, s), Image.BILINEAR)
+
+        return {"image": T.to_normalized_array(gt),
+                "mask": mask,
+                "ref": T.to_normalized_array(ref)}
+
+
+class SelfRefDataset(InpaintDataset):
+    """Eval-mode dataset: ref = the image itself, no augmentation
+    (test.ipynb cell 3: `model.set_input(image, mask, image)`)."""
+
+    def __init__(self, img_root: str, mask_root: str, fine_size: int = 256,
+                 *, seed: int = 0, mask_per_index: bool = True):
+        super().__init__(img_root, mask_root, img_root, fine_size,
+                         augment_ref=False, seed=seed,
+                         mask_per_index=mask_per_index)
+
+    def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
+        item = super().__getitem__(index)
+        item["ref"] = item["image"]
+        return item

@@ -1,0 +1,188 @@
+"""Data pipeline, image utils, metrics, and checkpointing tests (CPU).
+
+Reference behaviors covered: Data_load triple semantics
+(util/data_load.py:7-35), transform stacks (train.ipynb cell 1), PSNR/SSIM
+eval formulas (test.ipynb cell 3), per-epoch checkpointing
+(models/base_model.py:43-64) and resume.
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from PIL import Image
+
+from deepinpainting_tpu.config import Config
+from deepinpainting_tpu.data import (BatchIterator, InpaintDataset, prefetch,
+                                     transforms as T)
+from deepinpainting_tpu.data.dataset import SelfRefDataset
+from deepinpainting_tpu.engine import create_state
+from deepinpainting_tpu.engine.checkpoint import (CheckpointManager,
+                                                  export_network_npz,
+                                                  import_network_npz)
+from deepinpainting_tpu.utils import imaging
+from deepinpainting_tpu.utils.metrics import MetricsLogger, psnr, ssim
+
+S = 32
+
+
+@pytest.fixture(scope="module")
+def data_dirs(tmp_path_factory):
+    root = tmp_path_factory.mktemp("data")
+    rng = np.random.default_rng(0)
+    dirs = {}
+    for name, n, kind in [("img", 5, "jpg"), ("ref", 5, "jpg"),
+                          ("mask", 3, "png")]:
+        d = root / name
+        d.mkdir()
+        for i in range(n):
+            if kind == "png":  # binary-ish mask
+                arr = np.zeros((S, S, 3), np.uint8)
+                arr[8:24, 8 + i:24 + i] = 255
+            else:
+                arr = rng.integers(0, 255, (S, S, 3), dtype=np.uint8)
+            Image.fromarray(arr).save(d / f"{name}_{i}.{kind}")
+        dirs[name] = str(d)
+    return dirs
+
+
+def test_dataset_item_shapes_and_ranges(data_dirs):
+    ds = InpaintDataset(data_dirs["img"], data_dirs["mask"],
+                        data_dirs["ref"], fine_size=S, seed=0)
+    assert len(ds) == 5
+    item = ds[0]
+    assert item["image"].shape == (S, S, 3)
+    assert item["ref"].shape == (S, S, 3)
+    assert item["mask"].shape == (S, S)
+    assert item["image"].min() >= -1.0 and item["image"].max() <= 1.0
+    assert item["mask"].min() >= 0.0 and item["mask"].max() <= 1.0
+    assert item["mask"].max() > 0.5  # the hole exists
+
+
+def test_selfref_dataset_uses_image_as_ref(data_dirs):
+    ds = SelfRefDataset(data_dirs["img"], data_dirs["mask"], fine_size=S)
+    item = ds[2]
+    np.testing.assert_array_equal(item["ref"], item["image"])
+
+
+def test_batch_iterator_shapes_and_drop_last(data_dirs):
+    ds = InpaintDataset(data_dirs["img"], data_dirs["mask"],
+                        data_dirs["ref"], fine_size=S)
+    it = BatchIterator(ds, batch_size=2, seed=1)
+    batches = list(it)
+    assert len(batches) == len(it) == 2  # 5 items, drop_last
+    for b in batches:
+        assert b["image"].shape == (2, S, S, 3)
+        assert b["mask"].shape == (2, S, S)
+
+
+def test_prefetch_preserves_order_and_raises():
+    assert list(prefetch(iter(range(10)))) == list(range(10))
+
+    def boom():
+        yield 1
+        raise RuntimeError("worker failed")
+
+    with pytest.raises(RuntimeError, match="worker failed"):
+        list(prefetch(boom()))
+
+
+def test_random_resized_crop_and_jitter_shapes():
+    rng = np.random.default_rng(0)
+    img = Image.fromarray(
+        np.random.default_rng(1).integers(0, 255, (48, 64, 3), np.uint8))
+    for _ in range(5):
+        out = T.random_resized_crop(rng, img, S)
+        assert out.size == (S, S)
+    out = T.color_jitter(rng, img)
+    assert out.size == img.size and out.mode == "RGB"
+
+
+def test_color_jitter_zero_strength_is_identity():
+    rng = np.random.default_rng(0)
+    img = Image.fromarray(
+        np.random.default_rng(1).integers(0, 255, (S, S, 3), np.uint8))
+    out = T.color_jitter(rng, img, 0.0, 0.0, 0.0, 0.0)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(img))
+
+
+def test_tensor2im_roundtrip_and_grid(tmp_path):
+    x = np.linspace(-1, 1, S * S * 3, dtype=np.float32).reshape(S, S, 3)
+    u8 = imaging.tensor2im(x)
+    assert u8.dtype == np.uint8 and u8.shape == (S, S, 3)
+    # uint8 encode/decode error bound
+    assert np.abs(u8 / 127.5 - 1.0 - x).max() < 1 / 127.0
+    grid = imaging.make_grid([x, -x, x, -x], nrow=2)
+    assert grid.shape[0] > 2 * S and grid.shape[1] > 2 * S
+    p = str(tmp_path / "sub" / "grid.png")
+    imaging.save_grid([x, -x, x, -x], p)
+    assert os.path.exists(p)
+
+
+def test_psnr_golden():
+    a = jnp.zeros((1, 8, 8, 3))
+    b = jnp.full((1, 8, 8, 3), 0.2)
+    # mse = 0.04 -> 10*log10(4/0.04) = 20 dB
+    assert abs(float(psnr(a, b)) - 20.0) < 1e-4
+    assert float(psnr(a, a)) == 100.0
+
+
+def test_ssim_bounds_and_identity():
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(rng.uniform(-1, 1, (1, 32, 32, 3)), jnp.float32)
+    assert abs(float(ssim(a, a)) - 1.0) < 1e-5
+    noise = jnp.asarray(rng.uniform(-1, 1, (1, 32, 32, 3)), jnp.float32)
+    s = float(ssim(a, noise))
+    assert -1.0 <= s < 0.9
+
+
+def test_metrics_logger_csv_and_plot(tmp_path):
+    lg = MetricsLogger(str(tmp_path))
+    lg.log_step(1, {"loss": 1.5, "D": 0.3})
+    lg.log_step(2, {"loss": 1.2, "D": 0.2})
+    for e, (t, v) in enumerate([(3.0, 2.5), (2.0, 2.6)], 1):
+        lg.log_epoch(e, t, v)
+    lg.close()
+    lines = open(lg.path).read().strip().splitlines()
+    assert lines[0].startswith("step,time,loss,D")
+    assert len(lines) == 3
+    plot = lg.save_loss_plot()
+    if plot is not None:
+        assert os.path.exists(plot)
+
+
+TINY = Config(fine_size=32, ngf=8, ndf=8, batch_size=1,
+              vgg_width_scale=1 / 8, mask_type="random")
+
+
+def test_checkpoint_roundtrip_and_resume(tmp_path):
+    state = create_state(TINY, jax.random.PRNGKey(0))
+    cfg = TINY.replace(checkpoints_dir=str(tmp_path))
+    mgr = CheckpointManager(cfg)
+    mgr.save(1, state)
+    state2 = state.replace(step=state.step + 5)
+    mgr.save(2, state2)
+    assert mgr.latest_epoch() == 2
+    assert mgr.all_epochs() == [1, 2]
+    fresh = create_state(TINY, jax.random.PRNGKey(7))
+    restored = mgr.restore(2, fresh)
+    assert int(restored.step) == 5
+    for a, b in zip(jax.tree_util.tree_leaves(restored.params_G),
+                    jax.tree_util.tree_leaves(state2.params_G)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # config.json written next to checkpoints
+    assert os.path.exists(os.path.join(mgr.directory, "config.json"))
+    mgr.close()
+
+
+def test_network_npz_export_import_roundtrip(tmp_path):
+    state = create_state(TINY, jax.random.PRNGKey(0))
+    p = str(tmp_path / "netG.npz")
+    export_network_npz(state.params_G, p)
+    other = create_state(TINY, jax.random.PRNGKey(9))
+    back = import_network_npz(other.params_G, p)
+    for a, b in zip(jax.tree_util.tree_leaves(back),
+                    jax.tree_util.tree_leaves(state.params_G)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
