@@ -4,3 +4,4 @@ from .inpaint import (build_models, create_state, init_params,
 from .schedules import EarlyStopping, PlateauScheduler, lr_for_epoch
 from .state import (TrainState, create_train_state, current_learning_rate,
                     make_optimizer, set_learning_rate)
+from .checkpoint import CheckpointManager

@@ -1,0 +1,63 @@
+"""Metric evaluation harness: PSNR/SSIM over a test set.
+
+Parity with the reference eval driver (test.ipynb cell 3): ref = the image
+itself, per-image PSNR = 10*log10(4/MSE) on [-1,1] tensors, SSIM per
+IQA_pytorch semantics, a 2x2 (real_A, ref, fake_P, fake_B) grid per image,
+running prints, and averages over the first `max_images` (reference: 500).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+
+from ..config import Config
+from ..data.iterator import BatchIterator, device_batches
+from ..parallel import mesh as pmesh
+from ..utils import imaging
+from ..utils.metrics import psnr, ssim
+from .state import TrainState
+
+
+def evaluate(cfg: Config, state: TrainState, dataset, *,
+             max_images: int = 500, save_dir: Optional[str] = None,
+             mesh=None, verbose: bool = True) -> Dict[str, float]:
+    mesh = mesh if mesh is not None else pmesh.make_mesh(axis=cfg.data_axis)
+    eval_step = pmesh.make_dp_eval_step(cfg, mesh)
+    metric_fn = jax.jit(lambda a, b: (psnr(a, b), ssim(a, b)))
+
+    it = BatchIterator(dataset, cfg.batch_size, shuffle=False,
+                       drop_last=True)
+    psnr_sum = ssim_sum = 0.0
+    n = 0
+    for batch in device_batches(iter(it), mesh, cfg.data_axis):
+        if n >= max_images:
+            break
+        out = eval_step(state, batch)
+        vis = out["visuals"]
+        real_B = np.asarray(vis["real_B"])
+        fake_B = np.asarray(vis["fake_B"])
+        for i in range(real_B.shape[0]):
+            if n >= max_images:
+                break
+            p, s = metric_fn(real_B[i][None], fake_B[i][None])
+            p, s = float(p), float(s)
+            psnr_sum += p
+            ssim_sum += s
+            n += 1
+            if save_dir:
+                imaging.save_grid(
+                    [np.asarray(vis[k])[i]
+                     for k in ("real_A", "real_Ref", "fake_P", "fake_B")],
+                    os.path.join(save_dir, f"Eval_({n}).jpg"), nrow=2)
+            if verbose:
+                print("%d. PSNR : %f, SSIM : %f" % (n, p, s))
+    result = {"psnr": psnr_sum / max(n, 1), "ssim": ssim_sum / max(n, 1),
+              "images": n}
+    if verbose:
+        print("PSNR_average : %.2f, SSIM_average : %.3f"
+              % (result["psnr"], result["ssim"]))
+    return result

@@ -1,0 +1,133 @@
+"""Epoch-level training loop.
+
+Capability parity with the reference train driver (train.ipynb cell 2):
+shuffled epochs, per-step D-then-G optimization, periodic 2x2 visual dumps
+every `display_freq` steps, per-epoch checkpoint save, a validation pass
+computing the L1 'GAN' loss (models/IPSR.py:205-207), EarlyStopping(20),
+per-epoch learning-rate scheduling (models/base_model.py:66-70), and the
+train/valid loss-curve figure.
+
+TPU-native differences: one jitted DP train step over the device mesh
+(batch > 1, sharded), background host prefetch, structured CSV metrics,
+orbax checkpoints of the full state, optional jax.profiler tracing.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import numpy as np
+
+from ..config import Config
+from ..data.iterator import BatchIterator, device_batches
+from ..parallel import mesh as pmesh
+from ..utils import imaging
+from ..utils.metrics import MetricsLogger
+from ..utils.profiling import trace
+from .inpaint import create_state
+from .checkpoint import CheckpointManager
+from .schedules import EarlyStopping, PlateauScheduler, lr_for_epoch
+from .state import TrainState, set_learning_rate
+
+
+class Trainer:
+    def __init__(self, cfg: Config, train_dataset, valid_dataset=None, *,
+                 out_dir: Optional[str] = None, mesh=None):
+        self.cfg = cfg
+        self.train_dataset = train_dataset
+        self.valid_dataset = valid_dataset
+        self.out_dir = out_dir or os.path.join(cfg.checkpoints_dir, cfg.name)
+        os.makedirs(self.out_dir, exist_ok=True)
+        self.mesh = mesh if mesh is not None else pmesh.make_mesh(
+            axis=cfg.data_axis)
+        self.train_step = pmesh.make_dp_train_step(cfg, self.mesh)
+        self.eval_step = pmesh.make_dp_eval_step(cfg, self.mesh)
+        self.ckpt = CheckpointManager(cfg)
+        self.logger = MetricsLogger(self.out_dir)
+        self.early = EarlyStopping(cfg.early_stop_patience)
+        self.plateau = (PlateauScheduler(cfg.lr)
+                        if cfg.lr_policy == "plateau" else None)
+
+    # -- state ---------------------------------------------------------------
+    def init_state(self, rng: Optional[jax.Array] = None) -> TrainState:
+        rng = rng if rng is not None else jax.random.PRNGKey(self.cfg.seed)
+        state = create_state(self.cfg, rng)
+        if self.cfg.continue_train and self.cfg.which_epoch:
+            # resume parity: opt.continue_train/which_epoch (models/IPSR.py:71-77)
+            state = self.ckpt.restore(int(self.cfg.which_epoch), state)
+        return pmesh.replicate_state(state, self.mesh)
+
+    # -- epochs ---------------------------------------------------------------
+    def train_epoch(self, state: TrainState, epoch: int, rng: jax.Array,
+                    total_steps: int):
+        cfg = self.cfg
+        it = BatchIterator(self.train_dataset, cfg.batch_size,
+                           seed=cfg.seed + epoch)
+        losses = []
+        for batch in device_batches(iter(it), self.mesh, cfg.data_axis):
+            rng, sub = jax.random.split(rng)
+            state, metrics = self.train_step(state, batch, sub)
+            total_steps += cfg.batch_size
+            losses.append(float(metrics["loss"]))
+            self.logger.log_step(total_steps,
+                                 {k: float(v) for k, v in metrics.items()})
+            if cfg.display_freq and total_steps % cfg.display_freq == 0:
+                self._dump_visuals(state, batch, epoch, total_steps)
+        return state, float(np.mean(losses)) if losses else float("nan"), \
+            total_steps
+
+    def validate(self, state: TrainState) -> float:
+        if self.valid_dataset is None:
+            return float("nan")
+        it = BatchIterator(self.valid_dataset, self.cfg.batch_size,
+                           shuffle=False)
+        losses = [float(self.eval_step(state, b)["loss_valid"])
+                  for b in device_batches(iter(it), self.mesh,
+                                          self.cfg.data_axis)]
+        return float(np.mean(losses)) if losses else float("nan")
+
+    def _dump_visuals(self, state, batch, epoch, step):
+        # train.ipynb cell 2 display_freq grid: real_A, real_B, fake_P, fake_B
+        out = self.eval_step(state, batch)
+        vis = out["visuals"]
+        imgs = [np.asarray(vis[k])[0]
+                for k in ("real_A", "real_B", "fake_P", "fake_B")]
+        imaging.save_grid(imgs, os.path.join(
+            self.out_dir, "saveimg", f"Epoch_({epoch})_({step}).jpg"),
+            nrow=2)
+
+    # -- full run -------------------------------------------------------------
+    def fit(self, state: Optional[TrainState] = None, *,
+            profile_dir: Optional[str] = None) -> TrainState:
+        cfg = self.cfg
+        state = state if state is not None else self.init_state()
+        rng = jax.random.PRNGKey(cfg.seed + 1)
+        total_steps = 0
+        first_epoch = (int(cfg.which_epoch) + 1
+                       if cfg.continue_train and cfg.which_epoch
+                       else cfg.epoch_count)
+        with trace(profile_dir):
+            for epoch in range(first_epoch, cfg.niter + cfg.niter_decay + 1):
+                rng, sub = jax.random.split(rng)
+                state, train_loss, total_steps = self.train_epoch(
+                    state, epoch, sub, total_steps)
+                if epoch % cfg.save_epoch_freq == 0:
+                    self.ckpt.save(epoch, state)
+                valid_loss = self.validate(state)
+                self.logger.log_epoch(epoch, train_loss, valid_loss)
+
+                check = valid_loss if np.isfinite(valid_loss) else train_loss
+                if self.early(check):
+                    print("Early stopping")
+                    break
+                # update_learning_rate parity (base_model.py:66-70)
+                if self.plateau is not None:
+                    new_lr = self.plateau.step(check)
+                else:
+                    new_lr = lr_for_epoch(cfg, epoch)
+                state = set_learning_rate(state, new_lr)
+        self.logger.save_loss_plot()
+        self.logger.close()
+        return state
