@@ -1,0 +1,124 @@
+"""Serving app tests: the HTTP surface of the reference's Flask demo
+(app.py:91-168 — GET /, POST /getImage with srcImage/binaryMask/refImage,
+GET /result, static files) driven through the WSGI interface.
+"""
+
+import io
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from deepinpainting_tpu.config import Config
+from deepinpainting_tpu.serve import make_app
+from deepinpainting_tpu.serve.app import parse_multipart
+
+S = 32
+TINY = Config(fine_size=S, ngf=8, ndf=8, vgg_width_scale=1 / 8,
+              mask_type="random")
+
+
+def img_bytes(seed=0, size=S, fmt="JPEG"):
+    arr = np.random.default_rng(seed).integers(0, 255, (size, size, 3),
+                                               dtype=np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, fmt)
+    return buf.getvalue()
+
+
+def mask_bytes(size=S):
+    arr = np.zeros((size, size, 3), np.uint8)
+    arr[8:24, 8:24] = 255
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, "PNG")
+    return buf.getvalue()
+
+
+def multipart_body(fields):
+    boundary = b"testboundary123"
+    parts = []
+    for name, payload in fields.items():
+        parts.append(b"--" + boundary + b"\r\n"
+                     b'Content-Disposition: form-data; name="' +
+                     name.encode() + b'"; filename="f"\r\n'
+                     b"Content-Type: application/octet-stream\r\n\r\n" +
+                     payload + b"\r\n")
+    parts.append(b"--" + boundary + b"--\r\n")
+    body = b"".join(parts)
+    return body, "multipart/form-data; boundary=testboundary123"
+
+
+def wsgi_call(app, method, path, body=b"", content_type=""):
+    status_headers = {}
+
+    def start_response(status, headers):
+        status_headers["status"] = status
+        status_headers["headers"] = dict(headers)
+
+    environ = {
+        "REQUEST_METHOD": method, "PATH_INFO": path,
+        "CONTENT_LENGTH": str(len(body)), "CONTENT_TYPE": content_type,
+        "wsgi.input": io.BytesIO(body),
+    }
+    out = b"".join(app(environ, start_response))
+    return status_headers["status"], status_headers["headers"], out
+
+
+@pytest.fixture(scope="module")
+def app(tmp_path_factory):
+    static = tmp_path_factory.mktemp("static")
+    return make_app(TINY, None, str(static), warmup=False)
+
+
+def test_parse_multipart():
+    body, ctype = multipart_body({"a": b"xyz", "b": b"\x00\xffbin"})
+    fields = parse_multipart(ctype, body)
+    assert fields == {"a": b"xyz", "b": b"\x00\xffbin"}
+
+
+def test_index_page(app):
+    status, headers, out = wsgi_call(app, "GET", "/")
+    assert status == "200 OK"
+    for token in (b"srcImage", b"binaryMask", b"refImage", b"/getImage",
+                  b"canvas"):
+        assert token in out, token
+
+
+def test_get_image_full_flow(app):
+    body, ctype = multipart_body({
+        "srcImage": img_bytes(0), "binaryMask": mask_bytes(),
+        "refImage": img_bytes(1)})
+    status, headers, _ = wsgi_call(app, "POST", "/getImage", body, ctype)
+    assert status == "302 Found"
+    assert headers["Location"] == "/result"
+
+    status, _, out = wsgi_call(app, "GET", "/result")
+    assert status == "200 OK" and b"/static/img/test.jpg" in out
+
+    status, headers, out = wsgi_call(app, "GET", "/static/img/test.jpg")
+    assert status == "200 OK"
+    assert headers["Content-Type"] == "image/jpeg"
+    img = Image.open(io.BytesIO(out))
+    assert img.size == (S, S)
+
+
+def test_get_image_missing_field(app):
+    body, ctype = multipart_body({"srcImage": img_bytes(0)})
+    status, _, out = wsgi_call(app, "POST", "/getImage", body, ctype)
+    assert status == "400 Bad Request"
+    assert b"binaryMask" in out and b"refImage" in out
+
+
+def test_get_on_getimage_redirects(app):
+    status, headers, _ = wsgi_call(app, "GET", "/getImage")
+    assert status == "302 Found" and headers["Location"] == "/result"
+
+
+def test_static_traversal_blocked(app):
+    status, _, _ = wsgi_call(app, "GET", "/static/../../../etc/passwd")
+    assert status == "404 Not Found"
+
+
+def test_unknown_route_404(app):
+    status, _, _ = wsgi_call(app, "GET", "/nope")
+    assert status == "404 Not Found"
