@@ -85,7 +85,8 @@ def build_models(cfg: Config) -> Models:
                             num_downs=num_downs, ngf=cfg.ngf,
                             use_dropout=cfg.use_dropout,
                             triple_weight=cfg.triple_weight,
-                            truncate_backward=cfg.faithful_backward_truncation),
+                            truncate_backward=cfg.faithful_backward_truncation,
+                            attention_impl=cfg.attention_impl),
         P=UnetGenerator(input_nc=cfg.input_nc, output_nc=cfg.output_nc,
                         num_downs=num_downs, ngf=cfg.ngf,
                         use_dropout=cfg.use_dropout),
@@ -169,20 +170,30 @@ class ForwardOut(NamedTuple):
 
 
 def two_stage_forward(models: Models, params_G, params_P, gt, mask,
-                      ref_feat, flag, *, train: bool, rng: jax.Array
-                      ) -> ForwardOut:
-    """Full two-stage forward (models/IPSR.py:168-182)."""
+                      ref_feat, flag, *, train: bool, rng: jax.Array,
+                      dtype=jnp.float32) -> ForwardOut:
+    """Full two-stage forward (models/IPSR.py:168-182).
+
+    `dtype` is the activation compute dtype (cfg.dtype): activations are
+    cast at this boundary, convs accumulate in f32, outputs and taps are
+    returned in f32 so losses and metrics stay full-precision.
+    """
     masked_mean = M.fill_hole_with_mean(gt, mask)
     rng_p, rng_g = jax.random.split(rng)
-    fake_P = models.P.apply({"params": params_P}, masked_mean, train=train,
+    fake_P = models.P.apply({"params": params_P},
+                            masked_mean.astype(dtype), train=train,
                             rngs={"dropout": rng_p} if train else {})
+    fake_P = fake_P.astype(jnp.float32)
     known = M.zero_hole(gt, mask)
     m = mask[..., None]
     syn = lax.stop_gradient(fake_P) * m + known          # IPSR.py:172-175
     middle = jnp.concatenate([syn, known], axis=-1)      # IPSR.py:176 (aliased)
     fake_B, taps = models.G.apply(
-        {"params": params_G}, middle, ref_feat, flag, train=train,
+        {"params": params_G}, middle.astype(dtype),
+        ref_feat.astype(dtype), flag, train=train,
         rngs={"dropout": rng_g} if train else {})
+    fake_B = fake_B.astype(jnp.float32)
+    taps = {k: v.astype(jnp.float32) for k, v in taps.items()}
     return ForwardOut(fake_P, fake_B, taps, masked_mean, known, syn)
 
 
@@ -196,6 +207,7 @@ def make_train_step(cfg: Config):
     updated discriminators."""
     models = build_models(cfg)
     tx = make_optimizer(cfg)
+    dt = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
 
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
                    rng: jax.Array):
@@ -210,7 +222,8 @@ def make_train_step(cfg: Config):
         gt_target = vgg_gt.relu4_3
 
         fwd = two_stage_forward(models, state.params_G, state.params_P,
-                                gt, mask, ref_feat, flag, train=True, rng=rng)
+                                gt, mask, ref_feat, flag, train=True,
+                                rng=rng, dtype=dt)
         fake_B_const = lax.stop_gradient(fwd.fake_B)
         vgg_fake = apply_vgg16(state.vgg, fake_B_const, cfg.vgg_width_scale)  # IPSR.py:212
 
@@ -239,7 +252,8 @@ def make_train_step(cfg: Config):
         # ---- G / P phase (backward_G, models/IPSR.py:233-265) ----
         def g_loss_fn(params_G, params_P):
             out = two_stage_forward(models, params_G, params_P, gt, mask,
-                                    ref_feat, flag, train=True, rng=rng)
+                                    ref_feat, flag, train=True, rng=rng,
+                                    dtype=dt)
             pred_fake = models.D.apply({"params": new_D}, out.fake_B)
             pred_real = models.D.apply({"params": new_D}, gt)
             # feature branch is constant w.r.t. G (vgg of detached fake_B)
@@ -291,6 +305,7 @@ def make_eval_step(cfg: Config):
     """model.test() parity (models/IPSR.py:192-207): deterministic forward,
     plus the GAN-style error (loss_IPSR) and the L1 validation loss."""
     models = build_models(cfg)
+    dt = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
 
     def eval_step(state: TrainState, batch: Dict[str, jnp.ndarray]):
         gt = batch["image"]
@@ -300,7 +315,7 @@ def make_eval_step(cfg: Config):
         ref_feat = apply_vgg16(state.vgg, ref, cfg.vgg_width_scale).relu4_3
         fwd = two_stage_forward(models, state.params_G, state.params_P,
                                 gt, mask, ref_feat, flag, train=False,
-                                rng=jax.random.PRNGKey(0))
+                                rng=jax.random.PRNGKey(0), dtype=dt)
         # loss_IPSR = criterionGAN(real_B, fake_B, False) — IPSR.py:203
         loss_ipsr = ra_gan_loss(gt, fwd.fake_B, False, cfg.gan_type)
         loss_valid = (l1_loss(fwd.fake_B, gt)
@@ -321,14 +336,17 @@ def make_eval_step(cfg: Config):
 def make_inference_fn(cfg: Config):
     """Minimal jittable inference: (state-params, gt, mask, ref) -> fake_B."""
     models = build_models(cfg)
+    dt = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
 
     def infer(params_G, params_P, vgg, gt, mask, ref):
         mask = resolve_mask(cfg, mask)
         _, flag = prepare_masks(cfg, mask)
-        ref_feat = apply_vgg16(vgg, ref, cfg.vgg_width_scale).relu4_3
+        # inference-only: VGG also runs in the compute dtype
+        ref_feat = apply_vgg16(vgg, ref.astype(dt),
+                               cfg.vgg_width_scale).relu4_3
         fwd = two_stage_forward(models, params_G, params_P, gt, mask,
                                 ref_feat, flag, train=False,
-                                rng=jax.random.PRNGKey(0))
+                                rng=jax.random.PRNGKey(0), dtype=dt)
         return fwd.fake_B, fwd.fake_P
 
     return infer

@@ -53,6 +53,7 @@ class UnetBlock3(nn.Module):
     with_attention: bool = False
     triple_weight: float = 1.0
     truncate_backward: bool = True
+    attention_impl: str = "lax"
 
     @nn.compact
     def __call__(self, x, aux: Dict[str, Any], *, train: bool = False
@@ -81,7 +82,8 @@ class UnetBlock3(nn.Module):
                     # (networks.py:347: [..., conv3, ipsr, innerCos, IN]).
                     y = ipsr_attention_batched(
                         y, aux["ref_feat"].astype(y.dtype), aux["flag"],
-                        self.triple_weight, self.truncate_backward)
+                        self.triple_weight, self.truncate_backward,
+                        self.attention_impl)
                     taps["inner_cos"] = y  # InnerCos tap, pre-norm
                 y = InstanceNorm(name="down_norm3")(y)
 
@@ -135,6 +137,7 @@ class UnetGeneratorIPSR(nn.Module):
     use_dropout: bool = False
     triple_weight: float = 1.0
     truncate_backward: bool = True
+    attention_impl: str = "lax"
 
     def setup(self):
         ngf = self.ngf
@@ -147,7 +150,8 @@ class UnetGeneratorIPSR(nn.Module):
         block = UnetBlock3(ngf * 4, ngf * 8, submodule=block,
                            with_attention=True,
                            triple_weight=self.triple_weight,
-                           truncate_backward=self.truncate_backward)
+                           truncate_backward=self.truncate_backward,
+                           attention_impl=self.attention_impl)
         block = UnetBlock3(ngf * 2, ngf * 4, submodule=block)
         block = UnetBlock3(ngf, ngf * 2, submodule=block)
         self.model = UnetBlock3(self.output_nc, ngf, input_nc=self.input_nc,

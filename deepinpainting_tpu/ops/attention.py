@@ -116,22 +116,35 @@ def _attention_core(feat: jnp.ndarray, ref: jnp.ndarray,
     return out.astype(feat.dtype).reshape(h, w, c), kbar
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _core(feat, ref, flag, impl: str):
+    """Dispatch to the lax formulation or the fused Pallas kernel
+    (attention_pallas.py); 'pallas' falls back to lax for grids whose
+    fused working set exceeds VMEM (512x512-input configs)."""
+    if impl == "pallas":
+        from . import attention_pallas as ap
+        n = feat.shape[0] * feat.shape[1]
+        if ap.fused_fits(n, feat.shape[2]):
+            return ap.attention_core_pallas(feat, ref, flag)
+    return _attention_core(feat, ref, flag)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def ipsr_attention(feat: jnp.ndarray, ref: jnp.ndarray, flag: jnp.ndarray,
                    triple_weight: float = 1.0,
-                   truncate_backward: bool = True) -> jnp.ndarray:
+                   truncate_backward: bool = True,
+                   impl: str = "lax") -> jnp.ndarray:
     """Single-sample IPSR attention.  feat/ref [H,W,C], flag [H*W] (1=masked)."""
-    out, _ = _attention_core(feat, ref, flag)
+    out, _ = _core(feat, ref, flag, impl)
     return out
 
 
-def _ipsr_fwd(feat, ref, flag, triple_weight, truncate_backward):
-    out, kbar = _attention_core(feat, ref, flag)
+def _ipsr_fwd(feat, ref, flag, triple_weight, truncate_backward, impl):
+    out, kbar = _core(feat, ref, flag, impl)
     K = jnp.trunc(kbar) if truncate_backward else kbar
     return out, (K, feat.shape, flag.shape)
 
 
-def _ipsr_bwd(triple_weight, truncate_backward, res, g):
+def _ipsr_bwd(triple_weight, truncate_backward, impl, res, g):
     K, shape, flag_shape = res
     h, w, c = shape
     gf = g.reshape(h * w, c)
@@ -146,18 +159,55 @@ def _ipsr_bwd(triple_weight, truncate_backward, res, g):
 ipsr_attention.defvjp(_ipsr_fwd, _ipsr_bwd)
 
 
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _attention_batched_pallas(feat, ref, flag, triple_weight,
+                              truncate_backward):
+    from . import attention_pallas as ap
+    out, _ = ap.attention_core_pallas_batched(feat, ref, flag)
+    return out
+
+
+def _batched_pallas_fwd(feat, ref, flag, triple_weight, truncate_backward):
+    from . import attention_pallas as ap
+    out, kbar = ap.attention_core_pallas_batched(feat, ref, flag)
+    K = jnp.trunc(kbar) if truncate_backward else kbar
+    return out, (K, feat.shape, flag.shape)
+
+
+def _batched_pallas_bwd(triple_weight, truncate_backward, res, g):
+    K, shape, flag_shape = res
+    b, h, w, c = shape
+    gf = g.reshape(b, h * w, c)
+    extra = jnp.einsum("bqp,bqc->bpc", K, gf,
+                       preferred_element_type=jnp.float32).astype(g.dtype)
+    grad_feat = (gf + triple_weight * extra).reshape(b, h, w, c)
+    return (grad_feat, jnp.zeros(shape, g.dtype),
+            jnp.zeros(flag_shape, g.dtype))
+
+
+_attention_batched_pallas.defvjp(_batched_pallas_fwd, _batched_pallas_bwd)
+
+
 def ipsr_attention_batched(feat: jnp.ndarray, ref: jnp.ndarray,
                            flag: jnp.ndarray, triple_weight: float = 1.0,
-                           truncate_backward: bool = True) -> jnp.ndarray:
+                           truncate_backward: bool = True,
+                           impl: str = "lax") -> jnp.ndarray:
     """Batched attention: feat/ref [B,H,W,C], flag [B, H*W].
 
     The reference hard-requires batch size 1 (models/IPSR.py:35-36, a Python
     loop over the batch in IPSRFunction.py:46); here per-sample masks batch
-    via vmap.
+    natively: the pallas path grids the fused kernel over the batch, the
+    lax path vmaps the per-sample formulation.
     """
+    if impl == "pallas":
+        from . import attention_pallas as ap
+        n = feat.shape[1] * feat.shape[2]
+        if ap.fused_fits(n, feat.shape[3]):
+            return _attention_batched_pallas(feat, ref, flag, triple_weight,
+                                             truncate_backward)
     return jax.vmap(
         lambda f, r, m: ipsr_attention(f, r, m, triple_weight,
-                                       truncate_backward)
+                                       truncate_backward, "lax")
     )(feat, ref, flag)
 
 

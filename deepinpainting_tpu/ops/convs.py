@@ -47,8 +47,10 @@ def conv2d(x: jnp.ndarray, kernel: jnp.ndarray, bias: Optional[jnp.ndarray],
         padding=((padding, padding), (padding, padding)),
         rhs_dilation=(dilation, dilation),
         dimension_numbers=DIMENSION_NUMBERS,
-        preferred_element_type=x.dtype,
-    )
+        # accumulate in f32 even for bf16 activations (MXU-native mixed
+        # precision), then return the activation dtype
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
     if bias is not None:
         y = y + bias.astype(y.dtype)
     return y
@@ -72,8 +74,8 @@ def conv_transpose2d(x: jnp.ndarray, kernel: jnp.ndarray,
         padding=((pad, pad), (pad, pad)),
         lhs_dilation=(stride, stride),
         dimension_numbers=DIMENSION_NUMBERS,
-        preferred_element_type=x.dtype,
-    )
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
     if bias is not None:
         y = y + bias.astype(y.dtype)
     return y
@@ -86,9 +88,10 @@ def instance_norm(x: jnp.ndarray, scale: jnp.ndarray, offset: jnp.ndarray,
     Parity: torch nn.InstanceNorm2d defaults (eps=1e-5, no running stats).
     x: [N,H,W,C].
     """
-    mean = jnp.mean(x, axis=(1, 2), keepdims=True)
-    var = jnp.mean(jnp.square(x - mean), axis=(1, 2), keepdims=True)
-    y = (x - mean) * lax.rsqrt(var + eps)
+    xf = x.astype(jnp.float32)  # stats in f32 for bf16 activations
+    mean = jnp.mean(xf, axis=(1, 2), keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=(1, 2), keepdims=True)
+    y = ((xf - mean) * lax.rsqrt(var + eps)).astype(x.dtype)
     return y * scale.astype(y.dtype) + offset.astype(y.dtype)
 
 
@@ -111,17 +114,18 @@ class TorchConv(nn.Module):
     dilation: int = 1
     use_bias: bool = True
     init_gain: float = 0.02
-    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
+        # Computes in the activation dtype (params stay f32, cast per-call;
+        # cfg.dtype='bfloat16' casts activations at the forward boundary).
         cin = x.shape[-1]
         kernel = self.param(
             "kernel", normal_init(self.init_gain),
             (self.kernel_size, self.kernel_size, cin, self.features))
         bias = (self.param("bias", nn.initializers.zeros, (self.features,))
                 if self.use_bias else None)
-        return conv2d(x.astype(self.dtype), kernel.astype(self.dtype),
+        return conv2d(x, kernel.astype(x.dtype),
                       bias, self.stride, self.padding, self.dilation)
 
 
@@ -133,7 +137,6 @@ class TorchConvTranspose(nn.Module):
     padding: int = 0
     use_bias: bool = True
     init_gain: float = 0.02
-    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
@@ -143,7 +146,7 @@ class TorchConvTranspose(nn.Module):
             (self.kernel_size, self.kernel_size, cin, self.features))
         bias = (self.param("bias", nn.initializers.zeros, (self.features,))
                 if self.use_bias else None)
-        return conv_transpose2d(x.astype(self.dtype), kernel.astype(self.dtype),
+        return conv_transpose2d(x, kernel.astype(x.dtype),
                                 bias, self.stride, self.padding)
 
 

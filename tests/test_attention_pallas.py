@@ -1,0 +1,90 @@
+"""Fused Pallas attention kernel vs the lax reference formulation.
+
+The Pallas kernel (ops/attention_pallas.py) must match the lax path
+(ops/attention.py) bit-for-bit in semantics: same kbar, same output, same
+custom-vjp backward.  On CPU the kernel runs in interpreter mode.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deepinpainting_tpu.ops import attention as A
+from deepinpainting_tpu.ops import attention_pallas as AP
+
+H = W = 8
+C = 16
+N = H * W
+
+
+def sample(seed=0):
+    k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
+    feat = jax.random.normal(k1, (H, W, C), jnp.float32)
+    ref = jax.random.normal(k2, (H, W, C), jnp.float32)
+    flag = np.zeros((N,), np.float32)
+    flag[18:40] = 1.0  # a contiguous masked run mid-raster
+    return feat, ref, jnp.asarray(flag)
+
+
+def test_forward_matches_lax():
+    feat, ref, flag = sample()
+    out_lax, kbar_lax = A._attention_core(feat, ref, flag)
+    out_pl, kbar_pl = AP.attention_core_pallas(feat, ref, flag,
+                                               interpret=True)
+    np.testing.assert_allclose(np.asarray(kbar_pl), np.asarray(kbar_lax),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_pl), np.asarray(out_lax),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_no_mask_and_full_mask():
+    feat, ref, _ = sample(1)
+    for flag in (jnp.zeros((N,)), jnp.ones((N,))):
+        out_lax, kbar_lax = A._attention_core(feat, ref, flag)
+        out_pl, kbar_pl = AP.attention_core_pallas(feat, ref, flag,
+                                                   interpret=True)
+        np.testing.assert_allclose(np.asarray(out_pl), np.asarray(out_lax),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(kbar_pl),
+                                   np.asarray(kbar_lax), rtol=1e-5,
+                                   atol=1e-5)
+
+
+def test_gradients_match_lax():
+    feat, ref, flag = sample(2)
+
+    def loss(impl):
+        def f(x):
+            y = A.ipsr_attention(x, ref, flag, 1.0, True, impl)
+            return jnp.sum(y ** 2)
+        return jax.grad(f)(feat)
+
+    g_lax = loss("lax")
+    g_pl = loss("pallas")
+    np.testing.assert_allclose(np.asarray(g_pl), np.asarray(g_lax),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_batched_vmap_pallas():
+    feat, ref, flag = sample(3)
+    fb = jnp.stack([feat, feat * 0.5])
+    rb = jnp.stack([ref, ref])
+    mb = jnp.stack([flag, flag])
+    out = A.ipsr_attention_batched(fb, rb, mb, impl="pallas")
+    ref_out = A.ipsr_attention_batched(fb, rb, mb, impl="lax")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_fused_fits_budget():
+    assert AP.fused_fits(1024, 512)        # 256x256 production shape
+    assert not AP.fused_fits(4096, 512)    # 512x512 falls back to lax
+
+
+def test_oversize_grid_falls_back():
+    # impl='pallas' on a shape over budget must still work (lax fallback).
+    feat, ref, flag = sample(4)
+    with jax.disable_jit(False):
+        out = A.ipsr_attention(feat, ref, flag, 1.0, True, "pallas")
+    assert out.shape == (H, W, C)
