@@ -84,6 +84,7 @@ class Config:
 
     # ---- compute -----------------------------------------------------------
     dtype: str = "float32"         # activation compute dtype: 'float32' | 'bfloat16'
+    debug_nan: bool = False        # halt training on non-finite losses
     seed: int = 0
     vgg_weights: str = "random"    # 'random' or a path to a converted .npz
     vgg_width_scale: float = 1.0   # <1 only for scaled-down test configs

@@ -333,6 +333,29 @@ def make_eval_step(cfg: Config):
     return eval_step
 
 
+def make_coarse_fn(cfg: Config):
+    """Coarse-stage-only inference: netP on a masked image (BASELINE
+    config 1, the role of the reference's TestModel path — which is dead
+    code there, models/test_model.py:17-23 calls define_G with a stale
+    signature and is never constructed; see SURVEY.md §2.5).
+
+    Returns fn(params_P, gt, mask) -> (fake_P, composite)."""
+    models = build_models(cfg)
+    dt = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+
+    def coarse(params_P, gt, mask):
+        mask = resolve_mask(cfg, mask)
+        masked_mean = M.fill_hole_with_mean(gt, mask)
+        fake_P = models.P.apply({"params": params_P},
+                                masked_mean.astype(dt), train=False)
+        fake_P = fake_P.astype(jnp.float32)
+        m = mask[..., None]
+        composite = fake_P * m + gt * (1.0 - m)
+        return fake_P, composite
+
+    return coarse
+
+
 def make_inference_fn(cfg: Config):
     """Minimal jittable inference: (state-params, gt, mask, ref) -> fake_B."""
     models = build_models(cfg)

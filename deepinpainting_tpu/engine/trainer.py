@@ -71,6 +71,12 @@ class Trainer:
             state, metrics = self.train_step(state, batch, sub)
             total_steps += cfg.batch_size
             losses.append(float(metrics["loss"]))
+            if cfg.debug_nan and not np.isfinite(losses[-1]):
+                # NaN guard (SURVEY.md §5 sanitizers row): fail loudly at
+                # the offending step instead of training on garbage.
+                bad = {k: float(v) for k, v in metrics.items()}
+                raise FloatingPointError(
+                    f"non-finite loss at step {total_steps}: {bad}")
             self.logger.log_step(total_steps,
                                  {k: float(v) for k, v in metrics.items()})
             if cfg.display_freq and total_steps % cfg.display_freq == 0:
