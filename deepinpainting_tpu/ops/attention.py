@@ -93,6 +93,56 @@ def _propagate_scan(P: jnp.ndarray, Pn: jnp.ndarray, flag: jnp.ndarray,
     return kbar  # kbar[q, p]
 
 
+def _scan_out_only(P: jnp.ndarray, Pn: jnp.ndarray, flag: jnp.ndarray,
+                   ind: jnp.ndarray, vmax: jnp.ndarray) -> jnp.ndarray:
+    """Propagation WITHOUT materializing the attention matrix.
+
+    Identity (provable by induction over masked positions): the decoded
+    output row_q @ P of the reference's decode matmul (IPSRFunction.py:
+    130-133) equals the scan's running patch `out_q` for masked q —
+    row_q = a*row_{q-1} + b*onehot(ind_q)  =>  row_q @ P = a*(row_{q-1}@P)
+    + b*P[ind_q] = out_q — and equals the best-match patch P[ind_q] for
+    unmasked q (one-hot rows).  So the primal needs no [N,N] kbar and no
+    decode matmul: the inference scan carries only [C] state.  kbar is
+    materialized only under differentiation (_ipsr_fwd), where the custom
+    backward consumes it.
+    """
+    n, c = P.shape
+    known = jnp.take(P, ind, axis=0)
+
+    def body(carry, x):
+        prev_out, seen = carry
+        f, v, p_n, known_q = x
+        masked = f > 0.5
+        first = jnp.logical_and(masked, jnp.logical_not(seen))
+        at = jnp.dot(p_n, prev_out)
+        denom = at + v
+        out_later = (at / denom) * prev_out + (v / denom) * known_q
+        out_m = jnp.where(first, known_q, out_later)
+        new_out = jnp.where(masked, out_m, prev_out)
+        return (new_out, jnp.logical_or(seen, masked)), \
+            jnp.where(masked, out_m, known_q)
+
+    init = (jnp.zeros((c,), P.dtype), jnp.zeros((), jnp.bool_))
+    _, out = lax.scan(body, init, (flag, vmax, Pn, known))
+    return out  # [N, C]
+
+
+def _attention_core_primal(feat: jnp.ndarray, ref: jnp.ndarray,
+                           flag: jnp.ndarray) -> jnp.ndarray:
+    """Inference-only forward: no kbar, no decode matmul."""
+    h, w, c = feat.shape
+    n = h * w
+    P = feat.reshape(n, c)
+    R = ref.reshape(n, c)
+    Pn = P * (1.0 / (jnp.linalg.norm(P, axis=1, keepdims=True) + _NORM_EPS))
+    scores = jnp.dot(Pn, R.T, preferred_element_type=jnp.float32)
+    ind = jnp.argmax(scores, axis=0)
+    vmax = jnp.max(scores, axis=0).astype(P.dtype)
+    out = _scan_out_only(P, Pn, flag, ind, vmax)
+    return out.astype(feat.dtype).reshape(h, w, c)
+
+
 def _attention_core(feat: jnp.ndarray, ref: jnp.ndarray,
                     flag: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Single-sample forward.  feat/ref: [H, W, C]; flag: [H*W].
@@ -133,9 +183,12 @@ def ipsr_attention(feat: jnp.ndarray, ref: jnp.ndarray, flag: jnp.ndarray,
                    triple_weight: float = 1.0,
                    truncate_backward: bool = True,
                    impl: str = "lax") -> jnp.ndarray:
-    """Single-sample IPSR attention.  feat/ref [H,W,C], flag [H*W] (1=masked)."""
-    out, _ = _core(feat, ref, flag, impl)
-    return out
+    """Single-sample IPSR attention.  feat/ref [H,W,C], flag [H*W] (1=masked).
+
+    The primal (inference) path is kbar-free (_scan_out_only); kbar is
+    only materialized under differentiation (the fwd rule below).
+    """
+    return _attention_core_primal(feat, ref, flag)
 
 
 def _ipsr_fwd(feat, ref, flag, triple_weight, truncate_backward, impl):

@@ -88,3 +88,25 @@ def test_oversize_grid_falls_back():
     with jax.disable_jit(False):
         out = A.ipsr_attention(feat, ref, flag, 1.0, True, "pallas")
     assert out.shape == (H, W, C)
+
+
+def test_primal_kbar_free_matches_decode():
+    # The inference path computes output without kbar; it must match the
+    # kbar-decode formulation (algebraically identical, FP-tolerance).
+    for seed in range(3):
+        feat, ref, flag = sample(seed)
+        out_decode, _ = A._attention_core(feat, ref, flag)
+        out_primal = A._attention_core_primal(feat, ref, flag)
+        np.testing.assert_allclose(np.asarray(out_primal),
+                                   np.asarray(out_decode),
+                                   rtol=1e-4, atol=1e-5)
+    # edge cases: empty and full masks.  A fully-masked grid chains the
+    # recurrence N steps, so FP rounding of recurrence-vs-matmul drifts to
+    # ~3e-3 relative — still the same algebraic value.
+    feat, ref, _ = sample(7)
+    for flag in (jnp.zeros((N,)), jnp.ones((N,))):
+        out_decode, _ = A._attention_core(feat, ref, flag)
+        out_primal = A._attention_core_primal(feat, ref, flag)
+        np.testing.assert_allclose(np.asarray(out_primal),
+                                   np.asarray(out_decode),
+                                   rtol=1e-2, atol=1e-3)
