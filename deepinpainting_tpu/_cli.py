@@ -1,0 +1,146 @@
+"""Console entry points (dip-train / dip-evaluate / dip-serve).
+
+The same argument surfaces as scripts/train.py, scripts/evaluate.py and
+scripts/serve.py, importable when the package is installed.
+"""
+
+import argparse
+import dataclasses
+import os
+import sys
+
+from .config import Config
+
+
+def add_config_flags(parser: argparse.ArgumentParser) -> None:
+    """Every Config field becomes a --flag with its default."""
+    for f in dataclasses.fields(Config):
+        typ = f.type if callable(f.type) else type(f.default)
+        if typ is bool or isinstance(f.default, bool):
+            parser.add_argument(f"--{f.name}", type=lambda s: s.lower() in
+                                ("1", "true", "yes"), default=f.default)
+        else:
+            parser.add_argument(f"--{f.name}", type=type(f.default),
+                                default=f.default)
+
+
+
+def train(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--dataroot", required=True, help="training images dir")
+    ap.add_argument("--maskroot", required=True, help="mask png dir")
+    ap.add_argument("--refroot", required=True, help="reference images dir")
+    ap.add_argument("--validroot", default="", help="validation images dir")
+    ap.add_argument("--validrefroot", default="", help="validation refs dir")
+    ap.add_argument("--profile_dir", default="",
+                    help="emit a jax.profiler trace here")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (debug)")
+    add_config_flags(ap)
+    args = ap.parse_args(argv)
+
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
+    field_names = {f.name for f in dataclasses.fields(Config)}
+    cfg = Config(**{k: v for k, v in vars(args).items() if k in field_names})
+
+    from .data import InpaintDataset
+    from .engine.trainer import Trainer
+
+    train_ds = InpaintDataset(args.dataroot, args.maskroot, args.refroot,
+                              cfg.fine_size, seed=cfg.seed)
+    valid_ds = None
+    if args.validroot:
+        valid_ds = InpaintDataset(args.validroot, args.maskroot,
+                                  args.validrefroot or args.refroot,
+                                  cfg.fine_size, seed=cfg.seed + 1)
+    print(f"train images: {len(train_ds)}"
+          + (f", valid images: {len(valid_ds)}" if valid_ds else ""))
+
+    trainer = Trainer(cfg, train_ds, valid_ds)
+    trainer.fit(profile_dir=args.profile_dir or None)
+
+
+
+def evaluate(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--dataroot", required=True)
+    ap.add_argument("--maskroot", required=True)
+    ap.add_argument("--checkpoints_dir", default="checkpoints")
+    ap.add_argument("--name", default="IPSR_inpainting")
+    ap.add_argument("--which_epoch", type=int, required=True)
+    ap.add_argument("--max_images", type=int, default=500)
+    ap.add_argument("--batch_size", type=int, default=0,
+                    help="override the checkpoint config's batch size")
+    ap.add_argument("--save_dir", default="", help="dump 2x2 eval grids here")
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args(argv)
+
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+
+    from .config import Config
+    from .data.dataset import SelfRefDataset
+    from .engine import create_state
+    from .engine.checkpoint import CheckpointManager
+    from .engine.evaluator import evaluate as run_eval
+
+    cfg_path = os.path.join(args.checkpoints_dir, args.name, "config.json")
+    cfg = Config.load(cfg_path).replace(
+        checkpoints_dir=args.checkpoints_dir, name=args.name, is_train=False)
+    if args.batch_size:
+        cfg = cfg.replace(batch_size=args.batch_size)
+
+    mgr = CheckpointManager(cfg)
+    state = mgr.restore(args.which_epoch,
+                        create_state(cfg, jax.random.PRNGKey(0)))
+    ds = SelfRefDataset(args.dataroot, args.maskroot, cfg.fine_size)
+    print(f"test images: {len(ds)}")
+    run_eval(cfg, state, ds, max_images=args.max_images,
+             save_dir=args.save_dir or None)
+
+
+
+def serve(argv=None):
+    from wsgiref.simple_server import make_server
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--checkpoints_dir", default="checkpoints")
+    ap.add_argument("--name", default="IPSR_inpainting")
+    ap.add_argument("--which_epoch", type=int, default=None,
+                    help="epoch checkpoint to serve (default 46, like "
+                         "app.py:53; omit + --random_weights for a smoke run)")
+    ap.add_argument("--random_weights", action="store_true",
+                    help="serve randomly-initialized weights (no checkpoint)")
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=5000)
+    ap.add_argument("--static_dir", default="")
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args(argv)
+
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
+    from .config import Config
+    from .serve import make_app
+
+    cfg_path = os.path.join(args.checkpoints_dir, args.name, "config.json")
+    if os.path.exists(cfg_path):
+        cfg = Config.load(cfg_path)
+    else:
+        cfg = Config()
+    cfg = cfg.replace(checkpoints_dir=args.checkpoints_dir, name=args.name)
+
+    epoch = args.which_epoch
+    if epoch is None and not args.random_weights:
+        epoch = 46  # reference default, app.py:53
+    print("compiling inference...", flush=True)
+    app = make_app(cfg, epoch, args.static_dir or None)
+    print(f"serving on http://{args.host}:{args.port}", flush=True)
+    make_server(args.host, args.port, app).serve_forever()
+
+
