@@ -93,19 +93,63 @@ def _propagate_scan(P: jnp.ndarray, Pn: jnp.ndarray, flag: jnp.ndarray,
     return kbar  # kbar[q, p]
 
 
+def _scan_out_only_compacted(P: jnp.ndarray, Pn: jnp.ndarray,
+                             flag: jnp.ndarray, ind: jnp.ndarray,
+                             vmax: jnp.ndarray) -> jnp.ndarray:
+    """kbar-free propagation over a masked-compacted permutation.
+
+    Only masked positions advance the recurrence, so the sequential loop
+    runs with a *dynamic* trip count m = number of masked positions (the
+    latency floor scales with the hole size, not the grid size); unmasked
+    outputs are the best-match patches, produced vectorized.  Kept as an
+    alternative: measured SLOWER than the dense scan on v5e at b8
+    (see _scan_out_only) — may win for very small holes on large grids.
+    """
+    n, c = P.shape
+    known = jnp.take(P, ind, axis=0)
+    idx = jnp.arange(n)
+    masked = flag > 0.5
+    # masked positions first, raster order preserved within each group
+    order = jnp.argsort(jnp.where(masked, idx, idx + n))
+    m = jnp.sum(masked.astype(jnp.int32))
+    Pn_o = jnp.take(Pn, order, axis=0)
+    known_o = jnp.take(known, order, axis=0)
+    vmax_o = jnp.take(vmax, order, axis=0)
+
+    def body(i, carry):
+        prev_out, out_buf = carry
+        p_n = Pn_o[i]
+        v = vmax_o[i]
+        known_q = known_o[i]
+        at = jnp.dot(p_n, prev_out)
+        denom = at + v
+        out_later = (at / denom) * prev_out + (v / denom) * known_q
+        out_m = jnp.where(i == 0, known_q, out_later)  # first masked copies
+        return out_m, out_buf.at[i].set(out_m)
+
+    init = (jnp.zeros((c,), P.dtype), jnp.zeros((n, c), P.dtype))
+    _, out_masked = lax.fori_loop(0, m, body, init)
+    vals = jnp.where((idx < m)[:, None], out_masked, known_o)
+    return jnp.zeros((n, c), P.dtype).at[order].set(vals)  # [N, C]
+
+
 def _scan_out_only(P: jnp.ndarray, Pn: jnp.ndarray, flag: jnp.ndarray,
                    ind: jnp.ndarray, vmax: jnp.ndarray) -> jnp.ndarray:
-    """Propagation WITHOUT materializing the attention matrix.
+    """Propagation WITHOUT materializing the attention matrix (the primal).
 
     Identity (provable by induction over masked positions): the decoded
     output row_q @ P of the reference's decode matmul (IPSRFunction.py:
     130-133) equals the scan's running patch `out_q` for masked q —
     row_q = a*row_{q-1} + b*onehot(ind_q)  =>  row_q @ P = a*(row_{q-1}@P)
     + b*P[ind_q] = out_q — and equals the best-match patch P[ind_q] for
-    unmasked q (one-hot rows).  So the primal needs no [N,N] kbar and no
-    decode matmul: the inference scan carries only [C] state.  kbar is
-    materialized only under differentiation (_ipsr_fwd), where the custom
-    backward consumes it.
+    unmasked q (one-hot rows).  So inference needs no [N,N] kbar and no
+    decode matmul: the scan carries only [C] state.  kbar is materialized
+    only under differentiation (_ipsr_fwd), where the backward consumes it.
+
+    Measured on v5e: this vmapped dense scan beats the masked-compacted
+    dynamic-length variant above (373 vs 330 img/s e2e at b8) — the
+    argsort/gather/scatter and the while-lowered dynamic trip count cost
+    more than the skipped unmasked steps.  BENCH_NOTES.md has the data.
     """
     n, c = P.shape
     known = jnp.take(P, ind, axis=0)

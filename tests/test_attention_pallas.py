@@ -110,3 +110,38 @@ def test_primal_kbar_free_matches_decode():
         np.testing.assert_allclose(np.asarray(out_primal),
                                    np.asarray(out_decode),
                                    rtol=1e-2, atol=1e-3)
+
+
+def test_compacted_loop_matches_dense_scan():
+    # The masked-compacted dynamic-length loop must equal the dense N-step
+    # scan (and work under vmap with different per-sample mask counts).
+    for seed in range(3):
+        feat, ref, flag = sample(seed)
+        h, w, c = feat.shape
+        P = feat.reshape(-1, c)
+        Pn = P / (jnp.linalg.norm(P, axis=1, keepdims=True) + 1e-8)
+        scores = Pn @ ref.reshape(-1, c).T
+        ind = jnp.argmax(scores, axis=0)
+        vmax = jnp.max(scores, axis=0)
+        dense = A._scan_out_only(P, Pn, flag, ind, vmax)
+        fast = A._scan_out_only_compacted(P, Pn, flag, ind, vmax)
+        # scan vs fori_loop compile to different FMA contractions; both sit
+        # ~1e-3 from the kbar-decode ground truth on long masked chains
+        np.testing.assert_allclose(np.asarray(fast), np.asarray(dense),
+                                   rtol=1e-2, atol=1e-3)
+
+
+def test_primal_vmap_heterogeneous_masks():
+    feat, ref, flag = sample(5)
+    flags = np.zeros((3, N), np.float32)
+    flags[0, :0] = 1          # empty
+    flags[1, 10:20] = 1       # small hole
+    flags[2, :] = 1           # full
+    fb = jnp.stack([feat] * 3)
+    rb = jnp.stack([ref] * 3)
+    out = jax.jit(jax.vmap(A._attention_core_primal))(fb, rb,
+                                                      jnp.asarray(flags))
+    ref_out = jnp.stack([A._attention_core(feat, ref, jnp.asarray(f))[0]
+                         for f in flags])
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out),
+                               rtol=1e-2, atol=1e-3)
