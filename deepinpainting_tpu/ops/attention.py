@@ -93,6 +93,15 @@ def _propagate_scan(P: jnp.ndarray, Pn: jnp.ndarray, flag: jnp.ndarray,
     return kbar  # kbar[q, p]
 
 
+def _blend_step(prev_out, p_n, v, known_q, is_first):
+    """One propagation update (IPSRFunction.py:104-125): blend the previous
+    running patch with the best-match patch by the coherence weights."""
+    at = jnp.dot(p_n, prev_out)
+    denom = at + v
+    out_later = (at / denom) * prev_out + (v / denom) * known_q
+    return jnp.where(is_first, known_q, out_later)
+
+
 def _scan_out_only_compacted(P: jnp.ndarray, Pn: jnp.ndarray,
                              flag: jnp.ndarray, ind: jnp.ndarray,
                              vmax: jnp.ndarray) -> jnp.ndarray:
@@ -118,13 +127,7 @@ def _scan_out_only_compacted(P: jnp.ndarray, Pn: jnp.ndarray,
 
     def body(i, carry):
         prev_out, out_buf = carry
-        p_n = Pn_o[i]
-        v = vmax_o[i]
-        known_q = known_o[i]
-        at = jnp.dot(p_n, prev_out)
-        denom = at + v
-        out_later = (at / denom) * prev_out + (v / denom) * known_q
-        out_m = jnp.where(i == 0, known_q, out_later)  # first masked copies
+        out_m = _blend_step(prev_out, Pn_o[i], vmax_o[i], known_o[i], i == 0)
         return out_m, out_buf.at[i].set(out_m)
 
     init = (jnp.zeros((c,), P.dtype), jnp.zeros((n, c), P.dtype))
@@ -159,10 +162,7 @@ def _scan_out_only(P: jnp.ndarray, Pn: jnp.ndarray, flag: jnp.ndarray,
         f, v, p_n, known_q = x
         masked = f > 0.5
         first = jnp.logical_and(masked, jnp.logical_not(seen))
-        at = jnp.dot(p_n, prev_out)
-        denom = at + v
-        out_later = (at / denom) * prev_out + (v / denom) * known_q
-        out_m = jnp.where(first, known_q, out_later)
+        out_m = _blend_step(prev_out, p_n, v, known_q, first)
         new_out = jnp.where(masked, out_m, prev_out)
         return (new_out, jnp.logical_or(seen, masked)), \
             jnp.where(masked, out_m, known_q)

@@ -112,23 +112,55 @@ def test_primal_kbar_free_matches_decode():
                                    rtol=1e-2, atol=1e-3)
 
 
+def _scan_inputs(seed, flag):
+    feat, ref, _ = sample(seed)
+    c = feat.shape[-1]
+    P = feat.reshape(-1, c)
+    Pn = P / (jnp.linalg.norm(P, axis=1, keepdims=True) + 1e-8)
+    scores = Pn @ ref.reshape(-1, c).T
+    return P, Pn, jnp.asarray(flag), jnp.argmax(scores, axis=0), \
+        jnp.max(scores, axis=0)
+
+
+def _flag_patterns():
+    contiguous = np.zeros((N,), np.float32)
+    contiguous[18:40] = 1
+    scattered = np.zeros((N,), np.float32)
+    scattered[::7] = 1  # non-contiguous holes
+    return {
+        "contiguous": contiguous,
+        "scattered": scattered,
+        "empty": np.zeros((N,), np.float32),   # m = 0
+        "full": np.ones((N,), np.float32),     # m = N
+    }
+
+
 def test_compacted_loop_matches_dense_scan():
     # The masked-compacted dynamic-length loop must equal the dense N-step
-    # scan (and work under vmap with different per-sample mask counts).
-    for seed in range(3):
-        feat, ref, flag = sample(seed)
-        h, w, c = feat.shape
-        P = feat.reshape(-1, c)
-        Pn = P / (jnp.linalg.norm(P, axis=1, keepdims=True) + 1e-8)
-        scores = Pn @ ref.reshape(-1, c).T
-        ind = jnp.argmax(scores, axis=0)
-        vmax = jnp.max(scores, axis=0)
-        dense = A._scan_out_only(P, Pn, flag, ind, vmax)
-        fast = A._scan_out_only_compacted(P, Pn, flag, ind, vmax)
-        # scan vs fori_loop compile to different FMA contractions; both sit
-        # ~1e-3 from the kbar-decode ground truth on long masked chains
-        np.testing.assert_allclose(np.asarray(fast), np.asarray(dense),
-                                   rtol=1e-2, atol=1e-3)
+    # scan over every mask regime (m=0, m=N, contiguous, scattered).
+    for seed in range(2):
+        for name, flag in _flag_patterns().items():
+            P, Pn, f, ind, vmax = _scan_inputs(seed, flag)
+            dense = A._scan_out_only(P, Pn, f, ind, vmax)
+            fast = A._scan_out_only_compacted(P, Pn, f, ind, vmax)
+            # scan vs fori_loop compile to different FMA contractions; both
+            # sit ~1e-3 from the kbar-decode truth on long masked chains
+            np.testing.assert_allclose(np.asarray(fast), np.asarray(dense),
+                                       rtol=1e-2, atol=5e-3, err_msg=name)
+
+
+def test_compacted_loop_vmap_heterogeneous_m():
+    # The variant's stated purpose: batched while_loop with per-sample
+    # dynamic trip counts.  Stack all four mask regimes into one vmap.
+    patterns = list(_flag_patterns().values())
+    ins = [_scan_inputs(3, f) for f in patterns]
+    stack = lambda i: jnp.stack([x[i] for x in ins])
+    batched = jax.jit(jax.vmap(A._scan_out_only_compacted))(
+        stack(0), stack(1), stack(2), stack(3), stack(4))
+    for k, (P, Pn, f, ind, vmax) in enumerate(ins):
+        dense = A._scan_out_only(P, Pn, f, ind, vmax)
+        np.testing.assert_allclose(np.asarray(batched[k]),
+                                   np.asarray(dense), rtol=1e-2, atol=5e-3)
 
 
 def test_primal_vmap_heterogeneous_masks():
