@@ -61,12 +61,13 @@ def measure_ours(batch_sizes=(8,), size=256, iters=16):
     from deepinpainting_tpu.engine import init_params, make_inference_fn
     _enable_compile_cache()
 
-    # bf16 activations (f32 accumulation) are the inference default: +11%
-    # over f32 at batch 8 (BENCH_NOTES.md).  Knobs for A/B runs:
-    # BENCH_DTYPE=float32, BENCH_ATTN=pallas.
+    # Inference operating point (BENCH_NOTES.md): bf16 activations with
+    # f32 accumulation (+11% over f32) and the batch-vectorized kbar-free
+    # Pallas scan kernel (+11% over the lax scan) -> 413 img/s at batch 8.
+    # Knobs for A/B runs: BENCH_DTYPE=float32, BENCH_ATTN=lax.
     cfg = Config(fine_size=size, is_train=False, use_dropout=False,
                  dtype=os.environ.get("BENCH_DTYPE", "bfloat16"),
-                 attention_impl=os.environ.get("BENCH_ATTN", "lax"))
+                 attention_impl=os.environ.get("BENCH_ATTN", "pallas"))
     params = init_params(cfg, jax.random.PRNGKey(0))
     infer = make_inference_fn(cfg)
     p3 = (params["G"], params["P"], params["vgg"])

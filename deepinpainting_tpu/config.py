@@ -49,7 +49,7 @@ class Config:
     # behavior.
     faithful_backward_truncation: bool = True   # LongTensor-truncated attention rows in bwd
     faithful_detached_cosis: bool = True        # InnerCos losses detached from G grads
-    attention_impl: str = "lax"                 # 'lax' | 'pallas'
+    attention_impl: str = "pallas"              # 'pallas' | 'lax' (pallas: 2.5x faster train step, +11% inference on TPU; interprets on CPU)
 
     # ---- masks -------------------------------------------------------------
     mask_type: str = "random"      # 'center' | 'random'

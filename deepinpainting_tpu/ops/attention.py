@@ -259,9 +259,10 @@ ipsr_attention.defvjp(_ipsr_fwd, _ipsr_bwd)
 @partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def _attention_batched_pallas(feat, ref, flag, triple_weight,
                               truncate_backward):
+    # primal = kbar-free batch-vectorized v2 kernel; the kbar-building
+    # kernel only runs under differentiation (fwd rule below).
     from . import attention_pallas as ap
-    out, _ = ap.attention_core_pallas_batched(feat, ref, flag)
-    return out
+    return ap.attention_primal_pallas_batched(feat, ref, flag)
 
 
 def _batched_pallas_fwd(feat, ref, flag, triple_weight, truncate_backward):

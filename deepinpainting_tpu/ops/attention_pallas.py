@@ -149,3 +149,103 @@ def attention_core_pallas(feat: jnp.ndarray, ref: jnp.ndarray,
     out, kbar = attention_core_pallas_batched(
         feat[None], ref[None], flag[None], interpret=interpret)
     return out[0], kbar[0]
+
+
+# ---------------------------------------------------------------------------
+# v2: kbar-free batch-vectorized scan (inference primal)
+# ---------------------------------------------------------------------------
+
+def _scan_v2_kernel(flag_ref, vmax_ref,        # VMEM [K,N,1]
+                    pn_ref, known_ref,         # VMEM [K,N,C]
+                    out_ref):                  # VMEM out [K,N,C]
+    k, n, c = pn_ref.shape
+
+    def body(q, carry):
+        prev_out, seen = carry                      # [K,C] f32, [K,1] f32
+        # N sits in the sublane dim: Mosaic allows dynamic sublane slices
+        # but not dynamic lane (last-dim) slices.
+        f = flag_ref[:, pl.ds(q, 1), 0]             # [K,1]
+        v = vmax_ref[:, pl.ds(q, 1), 0]
+        pn_q = pn_ref[:, pl.ds(q, 1), :].reshape(k, c).astype(jnp.float32)
+        known_q = known_ref[:, pl.ds(q, 1), :].reshape(k, c).astype(
+            jnp.float32)
+        masked = f > 0
+        first = jnp.logical_and(masked, seen == 0)
+        at = jnp.sum(pn_q * prev_out, axis=1, keepdims=True)
+        denom = at + v
+        blend = (at / denom) * prev_out + (v / denom) * known_q
+        out_m = jnp.where(first, known_q, blend)
+        new_out = jnp.where(masked, out_m, prev_out)
+        out_ref[:, pl.ds(q, 1), :] = jnp.where(
+            masked, out_m, known_q).astype(out_ref.dtype)[:, None, :]
+        return new_out, jnp.maximum(seen, f.astype(jnp.float32))
+
+    init = (jnp.zeros((k, c), jnp.float32), jnp.zeros((k, 1), jnp.float32))
+    lax.fori_loop(0, n, body, init)
+
+
+def scan_chunk_size(n: int, c: int, itemsize: int) -> int:
+    """Largest per-grid-step batch chunk whose working set fits VMEM:
+    Pn + known + out = 3*K*N*C words of the storage dtype."""
+    budget = 12 * 1024 * 1024  # leave headroom below the 16MB core limit
+    k = budget // max(1, 3 * n * c * itemsize)
+    return max(1, min(8, int(k)))
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _scan_v2(flag, vmax, pn, known, *, interpret: bool):
+    """flag/vmax: [B,N] f32; pn/known: [B,N,C] (f32 or bf16).
+    Returns out [B,N,C] in pn.dtype; grid over batch chunks of size K,
+    the recurrence vectorized across the chunk inside the kernel."""
+    bsz, n, c = pn.shape
+    k = scan_chunk_size(n, c, pn.dtype.itemsize)
+    pad = (-bsz) % k
+    if pad:
+        flag = jnp.pad(flag, ((0, pad), (0, 0)))
+        vmax = jnp.pad(vmax, ((0, pad), (0, 0)), constant_values=1.0)
+        pn = jnp.pad(pn, ((0, pad), (0, 0), (0, 0)))
+        known = jnp.pad(known, ((0, pad), (0, 0), (0, 0)))
+    nb = pn.shape[0] // k
+    # [B,N,1] so the blocks' trailing two dims equal the full array dims
+    # (Mosaic requires trailing block dims divisible by (8,128) or full)
+    # and q indexes the sublane dim (dynamic lane slices don't lower).
+    flag3 = flag[:, :, None]
+    vmax3 = vmax[:, :, None]
+
+    out = pl.pallas_call(
+        _scan_v2_kernel,
+        grid=(nb,),
+        in_specs=[pl.BlockSpec((k, n, 1), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((k, n, 1), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((k, n, c), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((k, n, c), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((k, n, c), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(pn.shape, pn.dtype),
+        interpret=interpret,
+    )(flag3, vmax3, pn, known)
+    return out[:bsz]
+
+
+def attention_primal_pallas_batched(feat: jnp.ndarray, ref: jnp.ndarray,
+                                    flag: jnp.ndarray, *, interpret=None
+                                    ) -> jnp.ndarray:
+    """kbar-free batched inference forward with the vectorized v2 kernel.
+
+    Matches vmap of attention.py::_attention_core_primal.  Scores/argmax/
+    gather stay in XLA.  Storage stays f32 even for bf16 models: Mosaic
+    cannot lower the unaligned dynamic sublane slices the scan needs for
+    16-bit element types (2-sublane packing), so bf16 storage fails to
+    compile on real TPUs.
+    """
+    bsz, h, w, c = feat.shape
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    P, Pn, ind, vmax, known = _prep(feat, ref)
+    out = _scan_v2(flag.astype(jnp.float32), vmax, Pn, known,
+                   interpret=bool(interpret))
+    return out.astype(feat.dtype).reshape(bsz, h, w, c)

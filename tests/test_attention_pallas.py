@@ -177,3 +177,44 @@ def test_primal_vmap_heterogeneous_masks():
                          for f in flags])
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out),
                                rtol=1e-2, atol=1e-3)
+
+
+def test_v2_primal_kernel_matches_lax(monkeypatch):
+    # the batch-vectorized kbar-free kernel vs the lax primal, incl. a
+    # batch size that forces chunk padding
+    feat, ref, flag = sample(6)
+    flags = np.zeros((3, N), np.float32)
+    flags[0, 18:40] = 1
+    flags[1, ::5] = 1
+    flags[2, :0] = 1
+    fb = jnp.stack([feat, feat * 0.3, feat + 0.1])
+    rb = jnp.stack([ref, ref * 0.5, ref])
+    out = AP.attention_primal_pallas_batched(fb, rb, jnp.asarray(flags),
+                                             interpret=True)
+    want = jax.vmap(A._attention_core_primal)(fb, rb, jnp.asarray(flags))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_v2_kernel_bf16_storage():
+    feat, ref, flag = sample(8)
+    fb = feat[None].astype(jnp.bfloat16)
+    rb = ref[None].astype(jnp.bfloat16)
+    out = AP.attention_primal_pallas_batched(fb, rb, flag[None],
+                                             interpret=True)
+    want = jax.vmap(A._attention_core_primal)(fb, rb, flag[None])
+    assert out.dtype == jnp.bfloat16
+    a = np.asarray(out, np.float32)
+    b = np.asarray(want, np.float32)
+    assert np.isfinite(a).all()
+    # bf16 rounding differs between the two pipelines before the argmax,
+    # so a few positions legitimately pick different best patches; require
+    # the overwhelming majority to agree elementwise.
+    close = np.isclose(a, b, rtol=0.05, atol=0.05).mean()
+    assert close > 0.9, close
+
+
+def test_v2_chunk_sizing():
+    assert AP.scan_chunk_size(1024, 512, 4) == 2   # f32 production shape
+    assert AP.scan_chunk_size(1024, 512, 2) == 4   # bf16 doubles the chunk
+    assert AP.scan_chunk_size(64, 16, 4) == 8      # tiny grids cap at 8
