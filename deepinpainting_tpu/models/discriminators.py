@@ -56,6 +56,14 @@ class PFDiscriminator(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        # Three 4x4 s2 p1 convs need >=8x8 input to emit >=1 patch; below
+        # that (only sub-64px debug configs — relu3_3 is fine_size/8) the
+        # last conv would produce a zero-sized map and mean() over it NaNs
+        # the whole GAN loss.  Zero-pad up to the minimum instead.
+        pad_h = max(0, 8 - x.shape[1])
+        pad_w = max(0, 8 - x.shape[2])
+        if pad_h or pad_w:
+            x = jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
         y = TorchConv(self.width, 4, stride=2, padding=1, name="conv0")(x)
         y = leaky_relu(y, 0.2)
         y = TorchConv(self.width, 4, stride=2, padding=1, name="conv1")(y)
