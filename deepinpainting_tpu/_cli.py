@@ -15,8 +15,7 @@ from .config import Config
 def add_config_flags(parser: argparse.ArgumentParser) -> None:
     """Every Config field becomes a --flag with its default."""
     for f in dataclasses.fields(Config):
-        typ = f.type if callable(f.type) else type(f.default)
-        if typ is bool or isinstance(f.default, bool):
+        if isinstance(f.default, bool):
             parser.add_argument(f"--{f.name}", type=lambda s: s.lower() in
                                 ("1", "true", "yes"), default=f.default)
         else:

@@ -22,6 +22,22 @@ from ..utils.metrics import psnr, ssim
 from .state import TrainState
 
 
+def _pad_tail(batches, batch_size: int):
+    """Pad a ragged final batch to full size by repeating its last item.
+
+    Keeps every step at one static shape (single jit compile, mesh-divisible)
+    while letting the caller evaluate *exactly* the first N images like
+    test.ipynb cell 3 — the padded rows are never counted (the caller stops
+    at max_images / dataset length).
+    """
+    for batch in batches:
+        short = batch_size - next(iter(batch.values())).shape[0]
+        if short > 0:
+            batch = {k: np.concatenate([v, np.repeat(v[-1:], short, axis=0)])
+                     for k, v in batch.items()}
+        yield batch
+
+
 def evaluate(cfg: Config, state: TrainState, dataset, *,
              max_images: int = 500, save_dir: Optional[str] = None,
              mesh=None, verbose: bool = True) -> Dict[str, float]:
@@ -30,18 +46,20 @@ def evaluate(cfg: Config, state: TrainState, dataset, *,
     metric_fn = jax.jit(lambda a, b: (psnr(a, b), ssim(a, b)))
 
     it = BatchIterator(dataset, cfg.batch_size, shuffle=False,
-                       drop_last=True)
+                       drop_last=False)
+    total = min(max_images, len(dataset))
     psnr_sum = ssim_sum = 0.0
     n = 0
-    for batch in device_batches(iter(it), mesh, cfg.data_axis):
-        if n >= max_images:
+    for batch in device_batches(_pad_tail(iter(it), cfg.batch_size), mesh,
+                                cfg.data_axis):
+        if n >= total:
             break
         out = eval_step(state, batch)
         vis = out["visuals"]
         real_B = np.asarray(vis["real_B"])
         fake_B = np.asarray(vis["fake_B"])
         for i in range(real_B.shape[0]):
-            if n >= max_images:
+            if n >= total:
                 break
             p, s = metric_fn(real_B[i][None], fake_B[i][None])
             p, s = float(p), float(s)

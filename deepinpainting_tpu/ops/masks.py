@@ -119,11 +119,11 @@ def random_stroke_mask(key: jax.Array, fine_size: int,
 
     The reference pairs images with random mask *files* from a mask dataset
     (util/data_load.py:27); for self-contained training/benchmarks we also
-    provide an on-device generator: random walks of thick line segments,
-    rendered densely.  Returns float32 [fine_size, fine_size], 1 = hole.
+    provide an on-device generator: independent thick line segments with
+    random start/direction/length, rendered densely.  Returns float32
+    [fine_size, fine_size], 1 = hole.
     """
     k1, k2, k3 = jax.random.split(key, 3)
-    # Segment endpoints via a bounded random walk.
     starts = jax.random.uniform(k1, (num_strokes, 2), minval=0.1, maxval=0.9)
     deltas = jax.random.uniform(k2, (num_strokes, 2), minval=-1.0, maxval=1.0)
     lengths = jax.random.uniform(k3, (num_strokes, 1), minval=0.2, maxval=1.0)

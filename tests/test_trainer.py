@@ -80,6 +80,25 @@ def test_trainer_fit_two_epochs(data_dirs, tiny_cfg):
     assert int(state2.step) == 6
 
 
+def test_evaluator_exact_count_with_ragged_tail(data_dirs, tiny_cfg,
+                                                tmp_path, tmp_path_factory):
+    """batch_size 4 over 10 images must evaluate exactly 10 (VERDICT #8):
+    the tail batch is padded, not dropped, and padded rows aren't counted."""
+    d = tmp_path_factory.mktemp("ragged")
+    rng = np.random.default_rng(7)
+    for i in range(10):
+        Image.fromarray(rng.integers(0, 255, (S, S, 3), dtype=np.uint8)
+                        ).save(d / f"x{i}.jpg")
+    mesh = pmesh.make_mesh(jax.devices()[:2])
+    cfg = tiny_cfg.replace(batch_size=4)
+    ds = SelfRefDataset(str(d), data_dirs["mask"], S)
+    tr = Trainer(cfg, ds, mesh=mesh)
+    res = evaluate(cfg, tr.init_state(), ds, max_images=500, mesh=mesh,
+                   verbose=False)
+    assert res["images"] == 10
+    assert np.isfinite(res["psnr"])
+
+
 def test_evaluator_metrics(data_dirs, tiny_cfg, tmp_path):
     mesh = pmesh.make_mesh(jax.devices()[:2])
     ds = SelfRefDataset(data_dirs["img"], data_dirs["mask"], S)
