@@ -55,10 +55,19 @@ def ssim(real: jnp.ndarray, fake: jnp.ndarray, *, iqa_scale: bool = True,
          sigma: float = 1.5) -> jnp.ndarray:
     """Mean SSIM over NHWC [-1,1] images.
 
-    iqa_scale=True replicates IQA_pytorch's SSIM entry point, which
-    multiplies its inputs by 255 and uses C=(K*255)^2 — the exact pipeline
-    the reference eval drives (test.ipynb cell 3), including the quirk that
-    the inputs are [-1,1] rather than the [0,1] the library assumes.
+    iqa_scale=True replicates IQA_pytorch's SSIM entry point (the library
+    the reference eval drives, test.ipynb cell 3 / req.txt:21): inputs
+    multiplied by 255 with C=(K*255)^2 — algebraically a no-op, since SSIM
+    is invariant to scaling x,y by a when C scales by a^2 — plus the
+    library's one *operative* quirk: the contrast-structure term
+    cs = (2*sig_xy+C2)/(sig_x+sig_y+C2) is passed through relu() before
+    multiplying the luminance term, clamping anticorrelated patches to 0
+    instead of letting SSIM go negative.  Validated against a line-by-line
+    torch reimplementation of the IQA_pytorch forward in
+    tests/test_ssim_golden.py.  The reference feeds [-1,1] tensors rather
+    than the [0,1] the library assumes; that too only changes the effective
+    C relative to the data, and is reproduced exactly by computing on the
+    raw [-1,1] values here.
     """
     x = real.astype(jnp.float32)
     y = fake.astype(jnp.float32)
@@ -77,8 +86,10 @@ def ssim(real: jnp.ndarray, fake: jnp.ndarray, *, iqa_scale: bool = True,
     sig_y = _filter2(y * y, win) - mu_yy
     sig_xy = _filter2(x * y, win) - mu_xy
 
-    ssim_map = ((2 * mu_xy + c1) * (2 * sig_xy + c2)) / (
-        (mu_xx + mu_yy + c1) * (sig_x + sig_y + c2))
+    cs_map = (2 * sig_xy + c2) / (sig_x + sig_y + c2)
+    if iqa_scale:
+        cs_map = jnp.maximum(cs_map, 0.0)  # IQA_pytorch F.relu(cs_map)
+    ssim_map = ((2 * mu_xy + c1) / (mu_xx + mu_yy + c1)) * cs_map
     return jnp.mean(ssim_map)
 
 
