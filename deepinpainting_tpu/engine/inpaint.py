@@ -221,10 +221,20 @@ def make_train_step(cfg: Config):
         ref_feat = vgg_ref.relu4_3
         gt_target = vgg_gt.relu4_3
 
-        fwd = two_stage_forward(models, state.params_G, state.params_P,
-                                gt, mask, ref_feat, flag, train=True,
-                                rng=rng, dtype=dt)
-        fake_B_const = lax.stop_gradient(fwd.fake_B)
+        # ONE forward for the whole step (the reference also runs a single
+        # forward per optimize_parameters, models/IPSR.py:267-278): jax.vjp
+        # records the primal + residuals now, the D phase consumes the
+        # (detached) primal outputs, and the G phase pulls its gradients
+        # back through the stored residuals — no second forward.
+        def fwd_fn(params_G, params_P):
+            out = two_stage_forward(models, params_G, params_P, gt, mask,
+                                    ref_feat, flag, train=True, rng=rng,
+                                    dtype=dt)
+            return out.fake_B, out.fake_P, out.taps
+
+        (fake_B, fake_P, taps), fwd_vjp = jax.vjp(
+            fwd_fn, state.params_G, state.params_P)
+        fake_B_const = lax.stop_gradient(fake_B)
         vgg_fake = apply_vgg16(state.vgg, fake_B_const, cfg.vgg_width_scale)  # IPSR.py:212
 
         # ---- D / F phase (backward_D, models/IPSR.py:209-231) ----
@@ -250,11 +260,10 @@ def make_train_step(cfg: Config):
         new_F = optax.apply_updates(state.params_F, updF)
 
         # ---- G / P phase (backward_G, models/IPSR.py:233-265) ----
-        def g_loss_fn(params_G, params_P):
-            out = two_stage_forward(models, params_G, params_P, gt, mask,
-                                    ref_feat, flag, train=True, rng=rng,
-                                    dtype=dt)
-            pred_fake = models.D.apply({"params": new_D}, out.fake_B)
+        # Loss as a function of the forward *outputs*; its output-cotangents
+        # are pulled back through fwd_vjp to reach params_G/params_P.
+        def g_loss_fn(fake_B, fake_P, taps):
+            pred_fake = models.D.apply({"params": new_D}, fake_B)
             pred_real = models.D.apply({"params": new_D}, gt)
             # feature branch is constant w.r.t. G (vgg of detached fake_B)
             pred_fake_f = models.F.apply({"params": new_F}, vgg_fake.relu3_3)
@@ -262,14 +271,14 @@ def make_train_step(cfg: Config):
             loss_G_GAN = (ra_gan_loss(pred_fake, pred_real, False, cfg.gan_type)
                           + ra_gan_loss(pred_fake_f, pred_real_f, False,
                                         cfg.gan_type))
-            loss_G_L1 = (l1_loss(out.fake_B, gt)
-                         + l1_loss(out.fake_P, gt)) * cfg.lambda_A
+            loss_G_L1 = (l1_loss(fake_B, gt)
+                         + l1_loss(fake_P, gt)) * cfg.lambda_A
             loss_G = loss_G_L1 + loss_G_GAN * cfg.gan_weight
             cos = jnp.zeros(())
             if cfg.cosis and not cfg.skip:
-                cos1 = inner_cos_loss(out.taps["inner_cos"], fmask,
+                cos1 = inner_cos_loss(taps["inner_cos"], fmask,
                                       gt_target, cfg.strength)
-                cos2 = inner_cos_loss(out.taps["inner_cos2"], fmask,
+                cos2 = inner_cos_loss(taps["inner_cos2"], fmask,
                                       gt_target, cfg.strength)
                 cos = cos1 + cos2
                 if cfg.faithful_detached_cosis:
@@ -277,9 +286,9 @@ def make_train_step(cfg: Config):
                 loss_G = loss_G + cos
             return loss_G, (loss_G_GAN, loss_G_L1, cos)
 
-        (_, (loss_G_GAN, loss_G_L1, loss_cos)), (gG, gP) = jax.value_and_grad(
-            g_loss_fn, argnums=(0, 1), has_aux=True)(
-                state.params_G, state.params_P)
+        (_, (loss_G_GAN, loss_G_L1, loss_cos)), out_cots = jax.value_and_grad(
+            g_loss_fn, argnums=(0, 1, 2), has_aux=True)(fake_B, fake_P, taps)
+        gG, gP = fwd_vjp(out_cots)
         updG, optG = tx.update(gG, state.opt_G, state.params_G)
         updP, optP = tx.update(gP, state.opt_P, state.params_P)
         new_G = optax.apply_updates(state.params_G, updG)
