@@ -211,9 +211,10 @@ def _attention_core(feat: jnp.ndarray, ref: jnp.ndarray,
 
 
 def _core(feat, ref, flag, impl: str):
-    """Dispatch to the lax formulation or the fused Pallas kernel
-    (attention_pallas.py); 'pallas' falls back to lax for grids whose
-    fused working set exceeds VMEM (512x512-input configs)."""
+    """Dispatch to the lax formulation or the fused Pallas kernels
+    (attention_pallas.py).  The streamed kernels cover every production
+    grid size (incl. N=4096 / 512x512 inputs); the fused_fits gate only
+    rejects degenerate shapes."""
     if impl == "pallas":
         from . import attention_pallas as ap
         n = feat.shape[0] * feat.shape[1]

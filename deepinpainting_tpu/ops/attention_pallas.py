@@ -1,4 +1,4 @@
-"""Fused Pallas TPU kernel for the IPSR coherence-propagation scan + decode.
+"""Pallas TPU kernels for the IPSR coherence-propagation attention.
 
 Semantics identical to the lax path in attention.py (reference algorithm:
 models/IPSRFunction.py:82-133).  Kernel split, chosen for the hardware:
@@ -6,23 +6,39 @@ models/IPSRFunction.py:82-133).  Kernel split, chosen for the hardware:
   * scores matmul + argmax + best-patch gather stay in XLA — one batched
     [B,N,C]x[B,C,N] MXU contraction and a column reduction, which XLA
     already schedules optimally; their small outputs (flag/ind/vmax) are
-    the per-step scalars the kernel consumes.
-  * the N-step data-dependent recurrence + the [N,N]x[N,C] decode matmul
-    fuse into ONE Pallas kernel, grid over the batch: the carry (running
-    patch [1,C], running attention row [1,N]) and the kbar matrix live
-    entirely in VMEM, so the sequential loop never round-trips HBM, and
-    the decode reads kbar straight out of VMEM onto the MXU.  Per-step
-    control scalars (flag, ind, vmax) arrive via scalar prefetch in SMEM.
+    the per-step control values the kernels consume.
 
-VMEM budget per grid step at the production shape (N=1024, C=512):
-Pn/known/P 3x2MB + kbar 4MB + out 2MB = 12MB < 16MB/core.  Larger grids
-(512x512 inputs -> N=4096) exceed VMEM; callers fall back to the lax path
-(attention.py) for those shapes.
+  * **propagation kernel** (`_scan_stream_kernel`): the N-step
+    data-dependent recurrence, vectorized over a K-sample batch chunk
+    (the [K,C] carry update is a native VPU tile at K=8) and *streamed*
+    over N in Q-row blocks — the grid is (batch-chunks, N-chunks) with the
+    carry persisting in VMEM scratch across the sequential grid, so
+    Mosaic's block pipeline double-buffers the patch rows from HBM and no
+    shape ever has to fit VMEM whole.  This covers every production size,
+    including N=4096 (512x512 inputs), which the previous whole-N kernel
+    could not.  Besides the kbar-free output rows it emits the per-step
+    blend coefficients (a_q, b_q), which the training path reuses.
+
+  * **kbar builder** (`_kbar_kernel`, training only): given (a, b, ind,
+    flag), the attention-row recurrence row_q = a_q*row_{q-1} +
+    b_q*onehot(ind_q) is *linear per column*, so the [N,N] matrix is built
+    in [K,N,W] column tiles — batch-vectorized, embarrassingly parallel
+    over tiles, each step a [K,W] VPU-aligned update.  The decode matmul
+    (kbar @ P) runs in XLA on the MXU.
+
+Mosaic constraints honored: dynamic slices index the *sublane* dim only
+(never the lane dim); storage stays f32 (16-bit types pack 2/sublane and
+cannot take unaligned dynamic sublane slices); iota is >=2D; and —
+learned the hard way — per-position scalars are PACKED into the lane dim
+of the big blocks rather than carried as [K,*,1] specs: VMEM lane-pads
+every trailing dim to 128, so a "scalar" [K,N,1] block costs as much as a
+full 128-channel block and blows the 16MB scoped-VMEM limit.
 """
 
 from __future__ import annotations
 
 import functools
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -32,85 +48,192 @@ from jax.experimental.pallas import tpu as pltpu
 
 _NORM_EPS = 1e-8  # parity: NonparametricShift.py:39
 
-# VMEM ceiling for the fused path (f32 words): Pn + known + P + kbar + out.
-_VMEM_WORD_BUDGET = (16 * 1024 * 1024) // 4
+# Total VMEM the planners may spend across all (double-buffered) blocks of
+# one kernel — comfortably inside the 16MB/core scoped limit.
+_VMEM_BUDGET = 12 * 1024 * 1024
+
+
+def _roundup(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _largest_divisor_leq(n: int, cap: int) -> int:
+    cap = max(1, min(n, cap))
+    for d in range(cap, 0, -1):
+        if n % d == 0:
+            return d
+    return 1
+
+
+def plan_tiles(bsz: int, n: int, c: int) -> Tuple[int, int]:
+    """(K batch-chunk, Q row-chunk) for the propagation kernel.
+
+    Blocks per grid step: pn [K,Q,C], aux [K,Q,C+2] (known‖flag‖vmax),
+    out_aug [K,Q,C+2] (out‖a‖b) — each lane-padded to a multiple of 128
+    and double-buffered by the pipeline.  K prefers the 8 VPU sublanes,
+    Q divides N.
+    """
+    k = _largest_divisor_leq(bsz, 8)  # divides bsz: no padded batch slots
+    per_row = (_roundup(c, 128) + 2 * _roundup(c + 2, 128)) * 4
+    max_rows = max(1, _VMEM_BUDGET // (2 * per_row))
+    q = _largest_divisor_leq(n, max(1, max_rows // k))
+    return k, q
+
+
+def plan_kbar_tiles(bsz: int, n: int) -> Tuple[int, int]:
+    """(K batch-chunk, W column-tile) for the kbar builder.
+
+    Blocks per grid step: scalars [K,N,4] (lane-padded to 128) and the
+    kbar column tile [K,N,W], both double-buffered.
+    """
+    w = _largest_divisor_leq(n, 128)
+    while w > 1 and n * (128 + w) * 4 * 2 > _VMEM_BUDGET:
+        w = _largest_divisor_leq(n, w - 1)
+    cap = max(1, _VMEM_BUDGET // (n * (128 + w) * 4 * 2))
+    k = _largest_divisor_leq(bsz, min(8, cap))
+    return k, w
 
 
 def fused_fits(n: int, c: int) -> bool:
-    words = 3 * n * c + n * n + n * c + 2 * (n + c)
-    return words <= _VMEM_WORD_BUDGET
+    """The streamed kernels cover any shape with workable tiles (always
+    true for this model family; kept as the dispatch gate)."""
+    return plan_tiles(8, n, c)[1] >= 1 and n * (128 + 1) * 8 <= 2 ** 31
 
 
-def _scan_decode_kernel(flag_ref, ind_ref, vmax_ref,   # SMEM [B,N] (prefetch)
-                        pn_ref, known_ref, p_ref,      # VMEM [1,N,C]
-                        kbar_ref, out_ref,             # VMEM [1,N,N],[1,N,C]
-                        out_s, row_s):                 # VMEM scratch
-    b = pl.program_id(0)
-    n, c = pn_ref.shape[1], pn_ref.shape[2]
-    out_s[0:1, :] = jnp.zeros((1, c), jnp.float32)
-    row_s[0:1, :] = jnp.zeros((1, n), jnp.float32)
-    col_ids = lax.broadcasted_iota(jnp.int32, (1, n), 1)
+# ---------------------------------------------------------------------------
+# propagation kernel: out rows + blend coefficients, streamed over N
+# ---------------------------------------------------------------------------
 
-    def body(q, seen):
-        masked = flag_ref[b, q] > 0
-        ind_q = ind_ref[b, q]
-        v = vmax_ref[b, q]
-        onehot = (col_ids == ind_q).astype(jnp.float32)
-        known_q = known_ref[0, pl.ds(q, 1), :]
-        prev_out = out_s[0:1, :]
-        prev_row = row_s[0:1, :]
+def _scan_stream_kernel(pn_ref,                  # VMEM [K,Q,C]
+                        aux_ref,                 # VMEM [K,Q,C+2] known|flag|vmax
+                        out_ref,                 # VMEM [K,Q,C+2] out|a|b
+                        carry_ref, seen_ref):    # VMEM scratch [K,C],[K,1]
+    t = pl.program_id(1)
+    k, q, c = pn_ref.shape
 
-        # at = <Pn[q], out_prev>  (IPSRFunction.py:104-116)
-        at = jnp.sum(pn_ref[0, pl.ds(q, 1), :] * prev_out)
-        denom = at + v
-        a = at / denom
-        bb = v / denom
+    @pl.when(t == 0)
+    def _():
+        carry_ref[:, :] = jnp.zeros((k, c), jnp.float32)
+        seen_ref[:, :] = jnp.zeros((k, 1), jnp.float32)
+
+    def body(i, carry):
+        prev_out, seen = carry                       # [K,C], [K,1]
+        pn_q = pn_ref[:, pl.ds(i, 1), :].reshape(k, c)
+        aux_q = aux_ref[:, pl.ds(i, 1), :].reshape(k, c + 2)
+        known_q = aux_q[:, :c]
+        f = aux_q[:, c:c + 1]                        # [K,1]
+        v = aux_q[:, c + 1:c + 2]
+        masked = f > 0
         first = jnp.logical_and(masked, seen == 0)
-        out_m = jnp.where(first, known_q, a * prev_out + bb * known_q)
-        row_m = jnp.where(first, onehot, a * prev_row + bb * onehot)
+        at = jnp.sum(pn_q * prev_out, axis=1, keepdims=True)
+        denom = at + v
+        # first masked position: copy the best patch => (a,b) = (0,1)
+        # (IPSRFunction.py:98-101); later: the coherence blend (:104-125).
+        a = jnp.where(first, 0.0, at / denom)
+        b = jnp.where(first, 1.0, v / denom)
+        out_m = a * prev_out + b * known_q
+        new_out = jnp.where(masked, out_m, prev_out)
+        row = jnp.concatenate(
+            [jnp.where(masked, out_m, known_q),
+             jnp.where(masked, a, 1.0),              # kbar-row coefficients:
+             jnp.where(masked, b, 0.0)], axis=1)     # unmasked keeps => (1,0)
+        out_ref[:, pl.ds(i, 1), :] = row[:, None, :]
+        return new_out, jnp.maximum(seen, f)
 
-        kbar_ref[0, pl.ds(q, 1), :] = jnp.where(masked, row_m, onehot)
-
-        @pl.when(masked)
-        def _():
-            out_s[0:1, :] = out_m
-            row_s[0:1, :] = row_m
-
-        return jnp.where(masked, jnp.int32(1), seen)
-
-    lax.fori_loop(0, n, body, jnp.int32(0))
-
-    # Decode straight from VMEM onto the MXU (IPSRFunction.py:130-133).
-    out_ref[0] = jnp.dot(kbar_ref[0], p_ref[0],
-                         preferred_element_type=jnp.float32)
+    init = (carry_ref[:, :], seen_ref[:, :])
+    final_out, final_seen = lax.fori_loop(0, q, body, init)
+    carry_ref[:, :] = final_out
+    seen_ref[:, :] = final_seen
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _scan_decode(flag_i, ind, vmax, pn, known, p, *, interpret: bool):
-    """flag_i/ind: [B,N] int32; vmax: [B,N] f32; pn/known/p: [B,N,C] f32.
-    Returns (kbar [B,N,N], out [B,N,C])."""
+@functools.partial(jax.jit, static_argnames=("k", "q", "interpret"))
+def _scan_stream(flag, vmax, pn, known, *, k: int, q: int, interpret: bool):
+    """flag/vmax: [B,N] f32; pn/known: [B,N,C] f32.  (k, q) from plan_tiles.
+    Returns (out [B,N,C], a [B,N], b [B,N])."""
     bsz, n, c = pn.shape
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
-        grid=(bsz,),
-        in_specs=[pl.BlockSpec((1, n, c), lambda b, *_: (b, 0, 0),
-                               memory_space=pltpu.VMEM)] * 3,
-        out_specs=(pl.BlockSpec((1, n, n), lambda b, *_: (b, 0, 0),
-                                memory_space=pltpu.VMEM),
-                   pl.BlockSpec((1, n, c), lambda b, *_: (b, 0, 0),
-                                memory_space=pltpu.VMEM)),
-        scratch_shapes=[pltpu.VMEM((8, c), jnp.float32),
-                        pltpu.VMEM((8, n), jnp.float32)],
-    )
+    pad = (-bsz) % k
+    if pad:
+        flag = jnp.pad(flag, ((0, pad), (0, 0)))
+        vmax = jnp.pad(vmax, ((0, pad), (0, 0)), constant_values=1.0)
+        pn = jnp.pad(pn, ((0, pad), (0, 0), (0, 0)))
+        known = jnp.pad(known, ((0, pad), (0, 0), (0, 0)))
+    nb, nt = pn.shape[0] // k, n // q
+    aux = jnp.concatenate(
+        [known, flag[:, :, None], vmax[:, :, None]], axis=2)
 
-    return pl.pallas_call(
-        _scan_decode_kernel,
-        grid_spec=grid_spec,
-        out_shape=(jax.ShapeDtypeStruct((bsz, n, n), jnp.float32),
-                   jax.ShapeDtypeStruct((bsz, n, c), jnp.float32)),
+    spec_c = pl.BlockSpec((k, q, c), lambda b, t: (b, t, 0),
+                          memory_space=pltpu.VMEM)
+    spec_a = pl.BlockSpec((k, q, c + 2), lambda b, t: (b, t, 0),
+                          memory_space=pltpu.VMEM)
+    out_aug = pl.pallas_call(
+        _scan_stream_kernel,
+        grid=(nb, nt),
+        in_specs=[spec_c, spec_a],
+        out_specs=spec_a,
+        out_shape=jax.ShapeDtypeStruct((pn.shape[0], n, c + 2), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((k, c), jnp.float32),
+                        pltpu.VMEM((k, 1), jnp.float32)],
         interpret=interpret,
-    )(flag_i, ind, vmax, pn, known, p)
+    )(pn, aux)
+    return (out_aug[:bsz, :, :c], out_aug[:bsz, :, c],
+            out_aug[:bsz, :, c + 1])
 
+
+# ---------------------------------------------------------------------------
+# kbar builder: linear row recurrence, column-tiled (training path)
+# ---------------------------------------------------------------------------
+
+def _kbar_kernel(sc_ref,      # VMEM [K,N,4]: flag | ind(as f32) | a | b
+                 kbar_ref):   # VMEM [K,N,W]
+    k, n, w = kbar_ref.shape
+    col0 = pl.program_id(1) * w
+    # exact float compare: ind values are integers < 2^24
+    col_ids = (col0 + lax.broadcasted_iota(jnp.int32, (k, w), 1)
+               ).astype(jnp.float32)
+
+    def body(i, row):
+        sc = sc_ref[:, pl.ds(i, 1), :].reshape(k, 4)
+        f, ind_q, a, b = (sc[:, 0:1], sc[:, 1:2], sc[:, 2:3], sc[:, 3:4])
+        onehot = (col_ids == ind_q).astype(jnp.float32)
+        new_row = a * row + b * onehot               # (1,0) on unmasked
+        kbar_ref[:, pl.ds(i, 1), :] = jnp.where(
+            f > 0, new_row, onehot)[:, None, :]      # known pos: one-hot
+        return new_row
+
+    lax.fori_loop(0, n, body, jnp.zeros((k, w), jnp.float32))
+
+
+@functools.partial(jax.jit, static_argnames=("k", "w", "interpret"))
+def _kbar_build(flag, ind, a, b, *, k: int, w: int, interpret: bool):
+    """flag/a/b: [B,N] f32; ind: [B,N] int32.  (k, w) from plan_kbar_tiles.
+    Returns kbar [B,N,N] f32."""
+    bsz, n = flag.shape
+    pad = (-bsz) % k
+    if pad:
+        flag = jnp.pad(flag, ((0, pad), (0, 0)))
+        ind = jnp.pad(ind, ((0, pad), (0, 0)))
+        a = jnp.pad(a, ((0, pad), (0, 0)))
+        b = jnp.pad(b, ((0, pad), (0, 0)))
+    nb, nt = flag.shape[0] // k, n // w
+    scalars = jnp.stack(
+        [flag, ind.astype(jnp.float32), a, b], axis=2)   # [B,N,4]
+
+    kbar = pl.pallas_call(
+        _kbar_kernel,
+        grid=(nb, nt),
+        in_specs=[pl.BlockSpec((k, n, 4), lambda bi, t: (bi, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((k, n, w), lambda bi, t: (bi, 0, t),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((flag.shape[0], n, n), jnp.float32),
+        interpret=interpret,
+    )(scalars)
+    return kbar[:bsz]
+
+
+# ---------------------------------------------------------------------------
+# public entry points
+# ---------------------------------------------------------------------------
 
 def _prep(feat: jnp.ndarray, ref: jnp.ndarray):
     """Batched XLA pre-stage: normalize, scores, argmax, gather."""
@@ -121,25 +244,39 @@ def _prep(feat: jnp.ndarray, ref: jnp.ndarray):
     Pn = P * (1.0 / (jnp.linalg.norm(P, axis=2, keepdims=True) + _NORM_EPS))
     scores = jnp.einsum("bpc,bqc->bpq", Pn, R,
                         preferred_element_type=jnp.float32)
-    ind = jnp.argmax(scores, axis=1).astype(jnp.int32)         # [B,N] over patches
+    ind = jnp.argmax(scores, axis=1).astype(jnp.int32)         # [B,N] patches
     vmax = jnp.max(scores, axis=1)                             # [B,N]
     known = jnp.take_along_axis(P, ind[..., None], axis=1)     # [B,N,C]
     return P, Pn, ind, vmax, known
 
 
+def _default_interpret(interpret):
+    if interpret is None:
+        return jax.default_backend() != "tpu"
+    return bool(interpret)
+
+
 def attention_core_pallas_batched(feat: jnp.ndarray, ref: jnp.ndarray,
                                   flag: jnp.ndarray, *, interpret=None):
-    """Batched forward with the fused kernel.
+    """Batched training-path forward: (out [B,H,W,C], kbar [B,N,N]).
 
-    feat/ref: [B,H,W,C]; flag: [B,H*W].  Returns (out [B,H,W,C],
-    kbar [B,N,N]).  Matches vmap of attention.py::_attention_core exactly.
+    Matches vmap of attention.py::_attention_core exactly: the propagation
+    kernel yields the blend coefficients, the column-tiled kernel builds
+    kbar, and the decode (kbar @ P, IPSRFunction.py:130-133) runs as one
+    batched MXU einsum.
     """
     bsz, h, w, c = feat.shape
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
+    interpret = _default_interpret(interpret)
     P, Pn, ind, vmax, known = _prep(feat, ref)
-    kbar, out = _scan_decode(flag.astype(jnp.int32), ind, vmax,
-                             Pn, known, P, interpret=bool(interpret))
+    flag_f = flag.astype(jnp.float32)
+    n = h * w
+    k, q = plan_tiles(bsz, n, c)
+    k2, w2 = plan_kbar_tiles(bsz, n)
+    _, a, b = _scan_stream(flag_f, vmax, Pn, known, k=k, q=q,
+                           interpret=interpret)
+    kbar = _kbar_build(flag_f, ind, a, b, k=k2, w=w2, interpret=interpret)
+    out = jnp.einsum("bqp,bpc->bqc", kbar, P,
+                     preferred_element_type=jnp.float32)
     return out.astype(feat.dtype).reshape(bsz, h, w, c), kbar
 
 
@@ -151,101 +288,18 @@ def attention_core_pallas(feat: jnp.ndarray, ref: jnp.ndarray,
     return out[0], kbar[0]
 
 
-# ---------------------------------------------------------------------------
-# v2: kbar-free batch-vectorized scan (inference primal)
-# ---------------------------------------------------------------------------
-
-def _scan_v2_kernel(flag_ref, vmax_ref,        # VMEM [K,N,1]
-                    pn_ref, known_ref,         # VMEM [K,N,C]
-                    out_ref):                  # VMEM out [K,N,C]
-    k, n, c = pn_ref.shape
-
-    def body(q, carry):
-        prev_out, seen = carry                      # [K,C] f32, [K,1] f32
-        # N sits in the sublane dim: Mosaic allows dynamic sublane slices
-        # but not dynamic lane (last-dim) slices.
-        f = flag_ref[:, pl.ds(q, 1), 0]             # [K,1]
-        v = vmax_ref[:, pl.ds(q, 1), 0]
-        pn_q = pn_ref[:, pl.ds(q, 1), :].reshape(k, c).astype(jnp.float32)
-        known_q = known_ref[:, pl.ds(q, 1), :].reshape(k, c).astype(
-            jnp.float32)
-        masked = f > 0
-        first = jnp.logical_and(masked, seen == 0)
-        at = jnp.sum(pn_q * prev_out, axis=1, keepdims=True)
-        denom = at + v
-        blend = (at / denom) * prev_out + (v / denom) * known_q
-        out_m = jnp.where(first, known_q, blend)
-        new_out = jnp.where(masked, out_m, prev_out)
-        out_ref[:, pl.ds(q, 1), :] = jnp.where(
-            masked, out_m, known_q).astype(out_ref.dtype)[:, None, :]
-        return new_out, jnp.maximum(seen, f.astype(jnp.float32))
-
-    init = (jnp.zeros((k, c), jnp.float32), jnp.zeros((k, 1), jnp.float32))
-    lax.fori_loop(0, n, body, init)
-
-
-def scan_chunk_size(n: int, c: int, itemsize: int) -> int:
-    """Largest per-grid-step batch chunk whose working set fits VMEM:
-    Pn + known + out = 3*K*N*C words of the storage dtype."""
-    budget = 12 * 1024 * 1024  # leave headroom below the 16MB core limit
-    k = budget // max(1, 3 * n * c * itemsize)
-    return max(1, min(8, int(k)))
-
-
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _scan_v2(flag, vmax, pn, known, *, interpret: bool):
-    """flag/vmax: [B,N] f32; pn/known: [B,N,C] (f32 or bf16).
-    Returns out [B,N,C] in pn.dtype; grid over batch chunks of size K,
-    the recurrence vectorized across the chunk inside the kernel."""
-    bsz, n, c = pn.shape
-    k = scan_chunk_size(n, c, pn.dtype.itemsize)
-    pad = (-bsz) % k
-    if pad:
-        flag = jnp.pad(flag, ((0, pad), (0, 0)))
-        vmax = jnp.pad(vmax, ((0, pad), (0, 0)), constant_values=1.0)
-        pn = jnp.pad(pn, ((0, pad), (0, 0), (0, 0)))
-        known = jnp.pad(known, ((0, pad), (0, 0), (0, 0)))
-    nb = pn.shape[0] // k
-    # [B,N,1] so the blocks' trailing two dims equal the full array dims
-    # (Mosaic requires trailing block dims divisible by (8,128) or full)
-    # and q indexes the sublane dim (dynamic lane slices don't lower).
-    flag3 = flag[:, :, None]
-    vmax3 = vmax[:, :, None]
-
-    out = pl.pallas_call(
-        _scan_v2_kernel,
-        grid=(nb,),
-        in_specs=[pl.BlockSpec((k, n, 1), lambda b: (b, 0, 0),
-                               memory_space=pltpu.VMEM),
-                  pl.BlockSpec((k, n, 1), lambda b: (b, 0, 0),
-                               memory_space=pltpu.VMEM),
-                  pl.BlockSpec((k, n, c), lambda b: (b, 0, 0),
-                               memory_space=pltpu.VMEM),
-                  pl.BlockSpec((k, n, c), lambda b: (b, 0, 0),
-                               memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((k, n, c), lambda b: (b, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct(pn.shape, pn.dtype),
-        interpret=interpret,
-    )(flag3, vmax3, pn, known)
-    return out[:bsz]
-
-
 def attention_primal_pallas_batched(feat: jnp.ndarray, ref: jnp.ndarray,
                                     flag: jnp.ndarray, *, interpret=None
                                     ) -> jnp.ndarray:
-    """kbar-free batched inference forward with the vectorized v2 kernel.
-
-    Matches vmap of attention.py::_attention_core_primal.  Scores/argmax/
-    gather stay in XLA.  Storage stays f32 even for bf16 models: Mosaic
-    cannot lower the unaligned dynamic sublane slices the scan needs for
-    16-bit element types (2-sublane packing), so bf16 storage fails to
-    compile on real TPUs.
-    """
+    """kbar-free batched inference forward (matches vmap of
+    attention.py::_attention_core_primal).  Scores/argmax/gather stay in
+    XLA; the streamed kernel covers every grid size incl. N=4096 (512px).
+    Storage stays f32 even for bf16 models: Mosaic cannot lower unaligned
+    dynamic sublane slices for 16-bit element types."""
     bsz, h, w, c = feat.shape
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
+    interpret = _default_interpret(interpret)
     P, Pn, ind, vmax, known = _prep(feat, ref)
-    out = _scan_v2(flag.astype(jnp.float32), vmax, Pn, known,
-                   interpret=bool(interpret))
+    k, q = plan_tiles(bsz, h * w, c)
+    out, _, _ = _scan_stream(flag.astype(jnp.float32), vmax, Pn, known,
+                             k=k, q=q, interpret=interpret)
     return out.astype(feat.dtype).reshape(bsz, h, w, c)

@@ -41,8 +41,19 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 def shard_batch(batch: Dict[str, Any], mesh: Mesh,
                 axis: str = "data") -> Dict[str, Any]:
-    """Place a host batch with the leading axis split across the mesh."""
+    """Place a host batch with the leading axis split across the mesh.
+
+    Multi-host (pod-slice) DP: every process loads only its own slice of
+    the global batch, and `jax.make_array_from_process_local_data`
+    assembles the global sharded array from the per-process locals
+    (SURVEY.md §5 distributed row).  Single-process keeps the direct
+    device_put, which produces an identical global array (asserted by
+    tests/test_parallel.py::test_process_local_data_path_matches).
+    """
     sh = batch_sharding(mesh, axis)
+    if jax.process_count() > 1:
+        return {k: jax.make_array_from_process_local_data(sh, np.asarray(v))
+                for k, v in batch.items()}
     return {k: jax.device_put(v, sh) for k, v in batch.items()}
 
 

@@ -35,6 +35,23 @@ def test_dp_step_runs_on_8_devices():
     assert int(new_state.step) == 1
 
 
+def test_process_local_data_path_matches():
+    # The multi-host assembly (make_array_from_process_local_data) must
+    # produce the same global sharded array as the single-process
+    # device_put path; with process_count()==1 the "local" data is the
+    # full batch, so the two are directly comparable.
+    mesh = PP.make_mesh()
+    batch = batch_of(8, seed=5)
+    sh = PP.batch_sharding(mesh)
+    via_put = PP.shard_batch(batch, mesh)
+    via_local = {k: jax.make_array_from_process_local_data(sh, np.asarray(v))
+                 for k, v in batch.items()}
+    for k in batch:
+        assert via_local[k].sharding == via_put[k].sharding, k
+        np.testing.assert_array_equal(np.asarray(via_local[k]),
+                                      np.asarray(via_put[k]))
+
+
 def test_dp_matches_single_device_grad_semantics():
     # One DP step over 8 devices == the same jitted step on one device with
     # the same global batch (XLA all-reduce == global-batch mean).
