@@ -1,20 +1,30 @@
 """Benchmark: two-stage 256x256 inpainting inference throughput per chip.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "images/sec", "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": "images/sec", "vs_baseline": N, ...}
 
-`value` is images/sec/chip of the full jitted two-stage pipeline (rough
-U-Net -> compose -> refinement U-Net with IPSR attention, including on-device
-mask preprocessing and the VGG16 reference-feature extraction) at the best
-batch size.  `vs_baseline` divides by the reference PyTorch implementation
-executed on CPU (the only way the reference runs in this image), measured
-once and cached in `.bench_baseline.json` — BASELINE.md records that the
-reference publishes no throughput numbers, so the baseline must be measured
-(north star: >=50x reference-CPU img/s per chip).
+`value` is the median-of-repeats images/sec/chip of the full jitted
+two-stage pipeline (rough U-Net -> compose -> refinement U-Net with IPSR
+attention, including on-device mask preprocessing and the VGG16
+reference-feature extraction) at the throughput batch size.  `vs_baseline`
+divides by the reference PyTorch implementation executed on CPU (the only
+way the reference runs in this image), measured once and cached in
+`.bench_baseline.json` — BASELINE.md records that the reference publishes
+no throughput numbers, so the baseline must be measured (north star:
+>=50x reference-CPU img/s per chip).
+
+Extra keys (BASELINE.json's metric names p50 latency; VERDICT r1 #2):
+  p50_ms_per_image_b{B} — median per-image latency at the throughput batch
+  p50_ms_per_image_b1   — median single-image latency (batch 1)
+  mfu                   — model-FLOPs utilisation: analytic HLO flops/image
+                          (jit lower + cost_analysis, no TPU compile) x
+                          measured img/s / chip bf16 peak
+  spread_pct            — (max-min)/median of the timed repeats
 
 Timing method: the axon TPU tunnel makes per-call block_until_ready
 unreliable, so we run N *chained* (data-dependent) inference iterations
-inside one jit and fetch once; device time = total / N.
+inside one jit and fetch once; device time = total / N.  Each config is
+timed BENCH_REPEATS (default 3) times and the median reported.
 """
 
 import json
@@ -50,20 +60,40 @@ def _enable_compile_cache():
         pass
 
 
-def measure_ours(batch_sizes=(8,), size=256, iters=16):
-    # One batch size by default: each jit variant costs ~4 min of (remote)
-    # TPU compile in this environment and the persistent cache cannot
-    # capture remote-compiled executables.  batch=8 is the throughput
+# Chip bf16 peak FLOP/s by device_kind substring (lowercased match).
+_PEAK_BF16 = {
+    "v5 lite": 197e12, "v5e": 197e12,
+    "v5p": 459e12, "v5": 197e12,
+    "v6 lite": 918e12, "v6e": 918e12,
+    "v4": 275e12, "v3": 123e12,
+}
+
+
+def _chip_peak_flops():
+    import jax
+    kind = jax.devices()[0].device_kind.lower()
+    for key, peak in _PEAK_BF16.items():
+        if key in kind:
+            return peak, kind
+    return None, kind
+
+
+def measure_ours(batch_sizes=(8,), size=256, iters=16,
+                 repeats=None, with_b1=True):
+    # One throughput batch size by default: each jit variant costs ~4 min of
+    # (remote) TPU compile in this environment and the persistent cache
+    # cannot capture remote-compiled executables.  batch=8 is the throughput
     # configuration; see BENCH_NOTES.md for the batch sweep.
     import jax
     import jax.numpy as jnp
     from deepinpainting_tpu.config import Config
     from deepinpainting_tpu.engine import init_params, make_inference_fn
     _enable_compile_cache()
+    repeats = repeats or int(os.environ.get("BENCH_REPEATS", "3"))
 
     # Inference operating point (BENCH_NOTES.md): bf16 activations with
-    # f32 accumulation (+11% over f32) and the batch-vectorized kbar-free
-    # Pallas scan kernel (+11% over the lax scan) -> 413 img/s at batch 8.
+    # f32 accumulation (+11% over f32) and the batch-vectorized streamed
+    # Pallas scan kernel -> ~413 img/s at batch 8.
     # Knobs for A/B runs: BENCH_DTYPE=float32, BENCH_ATTN=lax.
     cfg = Config(fine_size=size, is_train=False, use_dropout=False,
                  dtype=os.environ.get("BENCH_DTYPE", "bfloat16"),
@@ -82,21 +112,62 @@ def measure_ours(batch_sizes=(8,), size=256, iters=16):
             return fake_B
         return jax.lax.fori_loop(0, n, body, gt)
 
-    best = 0.0
-    best_b = 1
-    for b in batch_sizes:
+    def _timed(b, n):
+        """Compile+warm once, then `repeats` timed runs -> per-iter seconds."""
         img, mask, ref = _example(b, size)
         gt, mk, rf = jnp.asarray(img), jnp.asarray(mask), jnp.asarray(ref)
-        np.asarray(chained(p3, gt, mk, rf, iters))  # compile + warm
-        t = time.time()
-        np.asarray(chained(p3, gt, mk, rf, iters))
-        dt = time.time() - t
-        ips = b * iters / dt
+        np.asarray(chained(p3, gt, mk, rf, n))  # compile + warm
+        per_iter = []
+        for _ in range(repeats):
+            t = time.time()
+            np.asarray(chained(p3, gt, mk, rf, n))
+            per_iter.append((time.time() - t) / n)
+        return sorted(per_iter)
+
+    out = {}
+    best, best_b = 0.0, batch_sizes[0]
+    for b in batch_sizes:
+        ts = _timed(b, iters)
+        med = ts[len(ts) // 2]
+        ips = b / med
+        spread = (ts[-1] - ts[0]) / med * 100.0
         print(f"[bench] ours batch={b}: {ips:.1f} img/s "
-              f"({dt / iters * 1000:.1f} ms/iter)", file=sys.stderr)
+              f"({med * 1000:.2f} ms/iter, {len(ts)} repeats, "
+              f"spread {spread:.1f}%)", file=sys.stderr)
         if ips > best:
             best, best_b = ips, b
-    return best, best_b
+            out["spread_pct"] = round(spread, 2)
+            out[f"p50_ms_per_image_b{b}"] = round(med * 1000 / b, 3)
+
+    if with_b1 and 1 not in batch_sizes:
+        try:
+            ts1 = _timed(1, iters)
+            out["p50_ms_per_image_b1"] = round(ts1[len(ts1) // 2] * 1000, 3)
+            print(f"[bench] batch-1 p50 latency: "
+                  f"{out['p50_ms_per_image_b1']:.2f} ms/img", file=sys.stderr)
+        except Exception as e:  # pragma: no cover
+            print(f"[bench] batch-1 latency failed: {e}", file=sys.stderr)
+            out["p50_ms_per_image_b1"] = None
+
+    # Analytic model FLOPs per image: HLO cost analysis of one lowered
+    # forward step (local lowering only — no TPU compile).
+    try:
+        img, mask, ref = _example(best_b, size)
+        lowered = jax.jit(infer).lower(
+            p3[0], p3[1], p3[2], jnp.asarray(img), jnp.asarray(mask),
+            jnp.asarray(ref))
+        flops = float(lowered.cost_analysis()["flops"]) / best_b
+        peak, kind = _chip_peak_flops()
+        out["flops_per_image"] = flops
+        out["mfu"] = round(best * flops / peak, 4) if peak else None
+        print(f"[bench] {flops / 1e9:.1f} GFLOP/img, chip '{kind}' "
+              f"peak {peak and peak / 1e12}T -> MFU {out['mfu']}",
+              file=sys.stderr)
+    except Exception as e:  # pragma: no cover
+        print(f"[bench] MFU estimate failed: {e}", file=sys.stderr)
+        out["mfu"] = None
+
+    return best, best_b, out
 
 
 def measure_reference_cpu(n_images=2, size=256):
@@ -191,15 +262,21 @@ def get_baseline():
 
 
 def main():
-    ours, best_b = measure_ours()
+    size = int(os.environ.get("BENCH_SIZE", "256"))
+    iters = int(os.environ.get("BENCH_ITERS", "16"))
+    with_b1 = os.environ.get("BENCH_B1", "1") == "1"
+    ours, best_b, extra = measure_ours(size=size, iters=iters,
+                                       with_b1=with_b1)
     baseline = get_baseline()
     vs = (ours / baseline) if baseline else None
-    print(json.dumps({
-        "metric": f"two_stage_256px_inpaint_images_per_sec_per_chip_b{best_b}",
+    rec = {
+        "metric": f"two_stage_{size}px_inpaint_images_per_sec_per_chip_b{best_b}",
         "value": round(ours, 2),
         "unit": "images/sec",
         "vs_baseline": round(vs, 2) if vs else None,
-    }))
+    }
+    rec.update(extra)
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":
