@@ -150,13 +150,14 @@ def measure_ours(batch_sizes=(8,), size=256, iters=16,
             out["p50_ms_per_image_b1"] = None
 
     # Analytic model FLOPs per image: HLO cost analysis of one lowered
-    # forward step (local lowering only — no TPU compile).
+    # forward step.  The axon backend's Lowered.cost_analysis() returns
+    # None, so the analysis runs in a CPU-platform subprocess (shape-only
+    # lowering, no execution) and is cached next to the baseline.
     try:
-        img, mask, ref = _example(best_b, size)
-        lowered = jax.jit(infer).lower(
-            p3[0], p3[1], p3[2], jnp.asarray(img), jnp.asarray(mask),
-            jnp.asarray(ref))
-        flops = float(lowered.cost_analysis()["flops"]) / best_b
+        # always lower the lax attention path for the flop count: model
+        # flops are implementation-independent and Pallas kernels don't
+        # lower on the CPU platform
+        flops = _flops_per_image(size, cfg.dtype, "lax", best_b)
         peak, kind = _chip_peak_flops()
         out["flops_per_image"] = flops
         out["mfu"] = round(best * flops / peak, 4) if peak else None
@@ -168,6 +169,57 @@ def measure_ours(batch_sizes=(8,), size=256, iters=16,
         out["mfu"] = None
 
     return best, best_b, out
+
+
+_FLOPS_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            ".bench_flops.json")
+
+_FLOPS_PROG = """
+import sys, json
+import jax
+jax.config.update("jax_platforms", "cpu")
+import jax.numpy as jnp
+sys.path.insert(0, {repo!r})
+from deepinpainting_tpu.config import Config
+from deepinpainting_tpu.engine import init_params, make_inference_fn
+
+size, dtype, attn, b = {size}, {dtype!r}, {attn!r}, {b}
+cfg = Config(fine_size=size, is_train=False, use_dropout=False,
+             dtype=dtype, attention_impl=attn)
+shapes = jax.eval_shape(lambda k: init_params(cfg, k), jax.random.PRNGKey(0))
+sds = jax.tree_util.tree_map(lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype),
+                             shapes)
+infer = make_inference_fn(cfg)
+args = (sds["G"], sds["P"], sds["vgg"],
+        jax.ShapeDtypeStruct((b, size, size, 3), jnp.float32),
+        jax.ShapeDtypeStruct((b, size, size), jnp.float32),
+        jax.ShapeDtypeStruct((b, size, size, 3), jnp.float32))
+ca = jax.jit(infer).lower(*args).cost_analysis()
+print(json.dumps({{"flops": float(ca["flops"])}}))
+"""
+
+
+def _flops_per_image(size, dtype, attn, b):
+    """Total HLO flops of one forward / batch, via a CPU-lowering
+    subprocess (cached in .bench_flops.json)."""
+    import subprocess
+    key = f"{size}_{dtype}_{attn}_{b}"
+    cache = {}
+    if os.path.exists(_FLOPS_CACHE):
+        with open(_FLOPS_CACHE) as f:
+            cache = json.load(f)
+    if key not in cache:
+        repo = os.path.dirname(os.path.abspath(__file__))
+        prog = _FLOPS_PROG.format(repo=repo, size=size, dtype=dtype,
+                                  attn=attn, b=b)
+        r = subprocess.run([sys.executable, "-c", prog], capture_output=True,
+                           text=True, timeout=900)
+        if r.returncode != 0:
+            raise RuntimeError(f"flops subprocess failed: {r.stderr[-400:]}")
+        cache[key] = json.loads(r.stdout.strip().splitlines()[-1])["flops"]
+        with open(_FLOPS_CACHE, "w") as f:
+            json.dump(cache, f)
+    return cache[key] / b
 
 
 def measure_reference_cpu(n_images=2, size=256):
