@@ -22,9 +22,16 @@ Extra keys (BASELINE.json's metric names p50 latency; VERDICT r1 #2):
   spread_pct            — (max-min)/median of the timed repeats
 
 Timing method: the axon TPU tunnel makes per-call block_until_ready
-unreliable, so we run N *chained* (data-dependent) inference iterations
-inside one jit and fetch once; device time = total / N.  Each config is
-timed BENCH_REPEATS (default 3) times and the median reported.
+unreliable and adds a ~32 ms fixed overhead per host->device call, so we
+run chained (data-dependent) inference iterations inside one jit with a
+DYNAMIC trip count (one compile) and time the *difference* between a long
+and a short run — the per-call overhead cancels exactly.  Every input is
+derived from the loop carry (gt = ref = previous fake_B, and the mask is
+data-dependently recomputed), so XLA cannot hoist any stage out of the
+loop: round-1 numbers let LICM hoist the loop-invariant VGG/mask/ref work,
+inflating b8 throughput ~2x and manufacturing a phantom b16 "cliff" (see
+BENCH_NOTES.md).  Each config is timed BENCH_REPEATS (default 3) times and
+the median reported.
 """
 
 import json
@@ -78,7 +85,7 @@ def _chip_peak_flops():
     return None, kind
 
 
-def measure_ours(batch_sizes=(8,), size=256, iters=16,
+def measure_ours(batch_sizes=(8,), size=256, iters=32,
                  repeats=None, with_b1=True):
     # One throughput batch size by default: each jit variant costs ~4 min of
     # (remote) TPU compile in this environment and the persistent cache
@@ -104,24 +111,37 @@ def measure_ours(batch_sizes=(8,), size=256, iters=16,
 
     # Params must be jit *arguments*, not closure constants — constants are
     # baked into the HLO, which is catastrophic over a remote-compile tunnel.
-    @partial(jax.jit, static_argnums=(4,))
-    def chained(p3, gt, mask, ref, n):
+    # Every per-iteration input derives from the carry: gt and ref are the
+    # previous fake_B (self-reference, the evaluator's semantics) and the
+    # mask is recomputed through a value-preserving data dependence
+    # (1 + mean*1e-30 rounds to exactly 1), so no stage can be hoisted.
+    @jax.jit
+    def chained(p3, mask0, x, n):
         pG, pP, vgg = p3
+
         def body(i, x):
-            fake_B, _ = infer(pG, pP, vgg, x, mask, ref)
+            mask = mask0 * (1.0 + jnp.mean(x) * 1e-30)
+            fake_B, _ = infer(pG, pP, vgg, x, mask, x)
             return fake_B
-        return jax.lax.fori_loop(0, n, body, gt)
+        return jax.lax.fori_loop(0, n, body, x)
 
     def _timed(b, n):
-        """Compile+warm once, then `repeats` timed runs -> per-iter seconds."""
-        img, mask, ref = _example(b, size)
-        gt, mk, rf = jnp.asarray(img), jnp.asarray(mask), jnp.asarray(ref)
-        np.asarray(chained(p3, gt, mk, rf, n))  # compile + warm
+        """Per-iter seconds by long/short differencing (overhead cancels).
+
+        One compile per batch size (dynamic trip count); `repeats`
+        (short, long) pairs -> sorted per-iter estimates."""
+        img, mask, _ = _example(b, size)
+        gt, mk = jnp.asarray(img), jnp.asarray(mask)
+        n_small = max(2, n // 8)
+        np.asarray(chained(p3, mk, gt, n))  # compile + warm
         per_iter = []
         for _ in range(repeats):
-            t = time.time()
-            np.asarray(chained(p3, gt, mk, rf, n))
-            per_iter.append((time.time() - t) / n)
+            t0 = time.time()
+            np.asarray(chained(p3, mk, gt, n_small))
+            t1 = time.time()
+            np.asarray(chained(p3, mk, gt, n_small + n))
+            t2 = time.time()
+            per_iter.append(((t2 - t1) - (t1 - t0)) / n)
         return sorted(per_iter)
 
     out = {}
@@ -315,7 +335,7 @@ def get_baseline():
 
 def main():
     size = int(os.environ.get("BENCH_SIZE", "256"))
-    iters = int(os.environ.get("BENCH_ITERS", "16"))
+    iters = int(os.environ.get("BENCH_ITERS", "32"))
     with_b1 = os.environ.get("BENCH_B1", "1") == "1"
     ours, best_b, extra = measure_ours(size=size, iters=iters,
                                        with_b1=with_b1)

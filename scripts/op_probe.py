@@ -1,0 +1,130 @@
+"""Single-op TPU roofline probe.
+
+Times individual convolution/norm ops at the pipeline's real shapes and
+prints achieved TFLOP/s vs the chip peak, to locate which layers hold the
+conv stacks at ~10% MFU (BENCH_NOTES.md round 2).
+
+Timing: dynamic-trip-count chained fori_loop, long/short differencing
+(tunnel overhead cancels) — same method as bench.py.
+
+Usage: python scripts/op_probe.py [--ops conv1 conv2 ...] [--batch 8]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--ops", nargs="*", default=None)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--iters", type=int, default=64)
+    ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+    import jax.numpy as jnp
+    from deepinpainting_tpu.ops.convs import (conv2d, conv_transpose2d,
+                                              instance_norm)
+
+    dt = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    b = args.batch
+    rng = np.random.default_rng(0)
+
+    def t(*shape):
+        return jnp.asarray(rng.normal(0, 1, shape) * 0.1, dt)
+
+    # (name, fn(x, k) -> y, x, k, MACs) — MACs exclude bias adds.
+    def conv_case(name, hw, cin, cout, k, stride, pad, dil=1):
+        out_hw = (hw + 2 * pad - dil * (k - 1) - 1) // stride + 1
+        macs = b * out_hw * out_hw * k * k * cin * cout
+        return (name,
+                lambda x, w: conv2d(x, w, None, stride, pad, dil),
+                t(b, hw, hw, cin), t(k, k, cin, cout), macs)
+
+    def deconv_case(name, hw, cin, cout, k, stride, pad):
+        out_hw = (hw - 1) * stride - 2 * pad + k
+        macs = b * out_hw * out_hw * k * k * cin * cout
+        return (name,
+                lambda x, w: conv_transpose2d(x, w, None, stride, pad),
+                t(b, hw, hw, cin), t(k, k, cin, cout), macs)
+
+    cases = [
+        # U-Net encoder ladder (k4 s2 p1)
+        conv_case("unet_enc1_3->64@256", 256, 3, 64, 4, 2, 1),
+        conv_case("unet_enc2_64->128@128", 128, 64, 128, 4, 2, 1),
+        conv_case("unet_enc3_128->256@64", 64, 128, 256, 4, 2, 1),
+        conv_case("unet_enc4_256->512@32", 32, 256, 512, 4, 2, 1),
+        conv_case("unet_enc6_512->512@8", 8, 512, 512, 4, 2, 1),
+        # IPSR dilated halving (k4 s2 p3 d2)
+        conv_case("ipsr_dil_512->512@32", 32, 512, 512, 4, 2, 3, 2),
+        # decoder deconvs (k4 s2 p1)
+        deconv_case("unet_dec_1024->256@32", 32, 1024, 256, 4, 2, 1),
+        deconv_case("unet_dec_512->64@128", 128, 512, 64, 4, 2, 1),
+        deconv_case("unet_dec_1024->512@2", 2, 1024, 512, 4, 2, 1),
+        # VGG 3x3 s1 p1 convs
+        conv_case("vgg_64->64@256", 256, 64, 64, 3, 1, 1),
+        conv_case("vgg_128->128@128", 128, 128, 128, 3, 1, 1),
+        conv_case("vgg_256->256@64", 64, 256, 256, 3, 1, 1),
+        conv_case("vgg_512->512@32", 32, 512, 512, 3, 1, 1),
+    ]
+    # instance norm at a large and a small shape (flops ~0; bandwidth test)
+    def in_case(name, hw, c):
+        x = t(b, hw, hw, c)
+        sc = jnp.ones((c,), jnp.float32)
+        of = jnp.zeros((c,), jnp.float32)
+        return (name, lambda x, _: instance_norm(x, sc, of), x,
+                jnp.zeros((1,), dt), 0)
+    cases += [in_case("inorm_64@128", 128, 64), in_case("inorm_512@8", 8, 512)]
+
+    names = [c[0] for c in cases]
+    sel = args.ops or names
+    for name, fn, x, w, macs in cases:
+        if name not in sel:
+            continue
+
+        @jax.jit
+        def chained(x, w, n):
+            def body(i, c):
+                y = fn(c, w)
+                # value-preserving resize back to the input shape to chain
+                if y.shape != c.shape:
+                    z = jnp.mean(y).astype(c.dtype) * 1e-30
+                    return c * (1.0 + z)
+                return y * 1e-30 + c * (1.0 - 1e-30)
+            return jax.lax.fori_loop(0, n, body, x)
+
+        n, ns = args.iters, max(2, args.iters // 8)
+        t0 = time.time()
+        np.asarray(chained(x, w, n))
+        compile_s = time.time() - t0
+        per = []
+        for _ in range(args.repeats):
+            a = time.time()
+            np.asarray(chained(x, w, ns))
+            m = time.time()
+            np.asarray(chained(x, w, ns + n))
+            z = time.time()
+            per.append(((z - m) - (m - a)) / n)
+        per.sort()
+        med = per[len(per) // 2]
+        tf = 2 * macs / med / 1e12 if macs else 0.0
+        gb = (x.nbytes * 2) / med / 1e9  # rough in+out traffic
+        print(f"[op] {name}: {med * 1e6:.0f} us  "
+              f"{tf:.1f} TF/s  (~{gb:.0f} GB/s io)  compile {compile_s:.0f}s",
+              file=sys.stderr, flush=True)
+
+
+if __name__ == "__main__":
+    main()
