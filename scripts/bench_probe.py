@@ -23,7 +23,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--stage", required=True,
-                    choices=["full", "netP", "netG", "vgg", "mask"])
+                    choices=["full", "netP", "netG", "vgg", "mask", "attn"])
     ap.add_argument("--batch", type=int, nargs="+", default=[8])
     ap.add_argument("--size", type=int, default=256)
     ap.add_argument("--iters", type=int, default=32)
@@ -97,8 +97,22 @@ def main():
 
             def body(p, i, x):
                 f = apply_vgg16(p, x)
-                return x * (1.0 + f.relu4_3.mean().astype(dt) * 1e-30)
+                # quadratic consumer so reduce(...) cannot fold through the convs
+                return x * (1.0 + (f.relu4_3 * f.relu4_3).mean().astype(dt) * 1e-30)
             return body, params["vgg"], x
+        if stage == "attn":
+            # isolated IPSR attention at the fine_size/8 grid
+            from deepinpainting_tpu.ops.attention import ipsr_attention_batched
+            g = s // 8
+            feat = t = jnp.asarray(rng.normal(0, 1, (b, g, g, 512)) * 0.5, dt)
+            ref_feat = jnp.asarray(rng.normal(0, 1, (b, g, g, 512)) * 0.5, dt)
+            flag = jnp.zeros((b, g * g), jnp.float32
+                             ).at[:, g * g // 3:2 * g * g // 3].set(1.0)
+
+            def body(p, i, x):
+                return ipsr_attention_batched(x, p[0], p[1],
+                                              impl=args.attn)
+            return body, (ref_feat, flag), feat
         if stage == "mask":
             mask = np.zeros((b, s, s), np.float32)
             q = s // 4

@@ -55,7 +55,10 @@ def main():
 
     def deconv_case(name, hw, cin, cout, k, stride, pad):
         out_hw = (hw - 1) * stride - 2 * pad + k
-        macs = b * out_hw * out_hw * k * k * cin * cout
+        # /stride^2: the lhs-dilated input is (s^2-1)/s^2 zeros and XLA
+        # decomposes the deconv into s^2 dense subkernels — counting the
+        # zeros reads >chip-peak TF/s.
+        macs = b * out_hw * out_hw * k * k * cin * cout // (stride * stride)
         return (name,
                 lambda x, w: conv_transpose2d(x, w, None, stride, pad),
                 t(b, hw, hw, cin), t(k, k, cin, cout), macs)
@@ -98,9 +101,12 @@ def main():
         def chained(x, w, n):
             def body(i, c):
                 y = fn(c, w)
-                # value-preserving resize back to the input shape to chain
+                # value-preserving resize back to the input shape to chain.
+                # quadratic consumer: XLA folds reduce(conv) algebraically
+                # (it never runs the conv, probe reads >peak TF/s), but
+                # reduce(conv^2) has no such rewrite.
                 if y.shape != c.shape:
-                    z = jnp.mean(y).astype(c.dtype) * 1e-30
+                    z = jnp.mean(y * y).astype(c.dtype) * 1e-30
                     return c * (1.0 + z)
                 return y * 1e-30 + c * (1.0 - 1e-30)
             return jax.lax.fori_loop(0, n, body, x)
