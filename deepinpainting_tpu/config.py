@@ -20,6 +20,9 @@ from typing import Optional, Tuple
 class Config:
     # ---- geometry ----------------------------------------------------------
     batch_size: int = 1
+    data_workers: int = -1        # host decode worker processes (DataLoader
+                                  # num_workers role): -1 auto (cores-1,
+                                  # so 0/serial on a 1-core host), 0 serial
     fine_size: int = 256          # square image resolution (reference `fineSize`)
     input_nc: int = 3             # stage-1 (rough net) input channels
     input_nc_g: int = 6           # stage-2 (refinement net) input channels

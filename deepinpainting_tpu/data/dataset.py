@@ -33,10 +33,46 @@ def _glob_images(root: str, patterns=("*.jpg", "*.png")):
     return sorted(paths)
 
 
+# ---------------------------------------------------------------------------
+# process-pool loading (the role of torch DataLoader num_workers)
+#
+# PIL decode and the numpy/PIL augmentations hold the GIL, so thread pools
+# do not scale host loading (measured flat at ~116 img/s @256px); spawned
+# worker processes do. Each worker reconstructs the dataset once from its
+# constructor spec (cheap: it only globs paths) and serves fetch() calls;
+# items return as plain numpy dicts. "spawn" (not fork) keeps workers clear
+# of the parent's jax/XLA threads; this module imports no jax.
+# ---------------------------------------------------------------------------
+
+_WORKER_DS = None
+
+
+def _pool_init(cls, args, kwargs):
+    global _WORKER_DS
+    _WORKER_DS = cls(*args, **kwargs)
+
+
+def _pool_fetch(index: int, rng: np.random.Generator):
+    return _WORKER_DS.fetch(index, rng)
+
+
+def _pool_fetch_batch(indices, rngs):
+    """Assemble one whole stacked batch in the worker — one IPC round-trip
+    per batch (per-item tasks measured SLOWER than serial: the pickle +
+    scheduling overhead is comparable to the ~8 ms item work)."""
+    items = [_WORKER_DS.fetch(int(i), r) for i, r in zip(indices, rngs)]
+    return {k: np.stack([it[k] for it in items]) for k in items[0]}
+
+
 class InpaintDataset:
     def __init__(self, img_root: str, mask_root: str, ref_root: str,
                  fine_size: int = 256, *, augment_ref: bool = True,
                  seed: int = 0, mask_per_index: bool = False):
+        self._ctor = (type(self), (img_root, mask_root, ref_root, fine_size),
+                      dict(augment_ref=augment_ref, seed=seed,
+                           mask_per_index=mask_per_index))
+        self._pool = None
+        self._pool_workers = 0
         self.paths = _glob_images(img_root)
         self.ref_paths = _glob_images(ref_root)
         self.mask_paths = _glob_images(mask_root, ("*.png", "*.jpg"))
@@ -59,7 +95,14 @@ class InpaintDataset:
     def _load_rgb(self, path: str) -> Image.Image:
         return Image.open(path).convert("RGB")
 
-    def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
+    def fetch(self, index: int,
+              rng: Optional[np.random.Generator] = None
+              ) -> Dict[str, np.ndarray]:
+        """Load one item using an explicit generator — thread-safe when
+        every concurrent caller brings its own `rng` (BatchIterator spawns
+        one child generator per item; np.random.Generator is NOT safe to
+        share across threads)."""
+        rng = rng if rng is not None else self.rng
         s = self.fine_size
         gt = self._load_rgb(self.paths[index]).resize((s, s), Image.BILINEAR)
 
@@ -67,7 +110,7 @@ class InpaintDataset:
             mpath = self.mask_paths[index % len(self.mask_paths)]
         else:
             mpath = self.mask_paths[
-                int(self.rng.integers(0, len(self.mask_paths)))]
+                int(rng.integers(0, len(self.mask_paths)))]
         mask_img = self._load_rgb(mpath).resize((s, s), Image.BILINEAR)
         # .bool() semantics of the reference driver (train.ipynb cell 2:
         # `mask.bool()`): any nonzero pixel is fully hole, so fractional
@@ -77,14 +120,40 @@ class InpaintDataset:
 
         ref = self._load_rgb(self.ref_paths[index % len(self.ref_paths)])
         if self.augment_ref:
-            ref = T.random_resized_crop(self.rng, ref, s)
-            ref = T.color_jitter(self.rng, ref)
+            ref = T.random_resized_crop(rng, ref, s)
+            ref = T.color_jitter(rng, ref)
         else:
             ref = ref.resize((s, s), Image.BILINEAR)
 
         return {"image": T.to_normalized_array(gt),
                 "mask": mask,
                 "ref": T.to_normalized_array(ref)}
+
+    def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
+        return self.fetch(index)
+
+    def get_pool(self, workers: int):
+        """Persistent spawn-based worker pool, lazily (re)built when
+        `workers` changes. Lives on the dataset so it survives across
+        epochs/iterators."""
+        if self._pool is None or self._pool_workers != workers:
+            import multiprocessing as mp
+            from concurrent.futures import ProcessPoolExecutor
+            if self._pool is not None:
+                self._pool.shutdown(wait=False)
+            cls, args, kwargs = self._ctor
+            self._pool = ProcessPoolExecutor(
+                max_workers=workers, mp_context=mp.get_context("spawn"),
+                initializer=_pool_init, initargs=(cls, args, kwargs))
+            self._pool_workers = workers
+        return self._pool
+
+    def __getstate__(self):
+        # the executor must not travel into worker processes
+        d = dict(self.__dict__)
+        d["_pool"] = None
+        d["_pool_workers"] = 0
+        return d
 
 
 class SelfRefDataset(InpaintDataset):
@@ -96,8 +165,13 @@ class SelfRefDataset(InpaintDataset):
         super().__init__(img_root, mask_root, img_root, fine_size,
                          augment_ref=False, seed=seed,
                          mask_per_index=mask_per_index)
+        # own ctor signature differs from the base — fix the pool spec
+        self._ctor = (type(self), (img_root, mask_root, fine_size),
+                      dict(seed=seed, mask_per_index=mask_per_index))
 
-    def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
-        item = super().__getitem__(index)
+    def fetch(self, index: int,
+              rng: Optional[np.random.Generator] = None
+              ) -> Dict[str, np.ndarray]:
+        item = super().fetch(index, rng)
         item["ref"] = item["image"]
         return item

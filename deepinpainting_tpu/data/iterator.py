@@ -15,7 +15,9 @@ from typing import Any, Dict, Iterator, Optional
 
 import numpy as np
 
-from ..parallel import mesh as pmesh
+# NOTE: parallel.mesh (and through it jax) is imported lazily inside the
+# functions that need it, so spawned data-loader worker processes can
+# import this module without paying (or touching) the jax runtime.
 
 
 class BatchIterator:
@@ -26,7 +28,8 @@ class BatchIterator:
     """
 
     def __init__(self, dataset, batch_size: int, *, shuffle: bool = True,
-                 seed: int = 0, drop_last: bool = True):
+                 seed: int = 0, drop_last: bool = True, workers: int = 0,
+                 backend: str = "process"):
         if drop_last and len(dataset) < batch_size:
             raise ValueError(
                 f"dataset has {len(dataset)} items < batch_size "
@@ -36,22 +39,82 @@ class BatchIterator:
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.rng = np.random.default_rng(seed)
+        # workers > 0: decode a batch's items in parallel — the role of
+        # DataLoader num_workers. backend "process" scales (PIL decode and
+        # the numpy augmentations hold the GIL: threads measure FLAT at
+        # ~116 img/s @256px, processes ~4x that); "thread" is the
+        # zero-setup-cost fallback. Each item gets its own spawned child
+        # generator either way, so augmentation stays deterministic per
+        # seed and generators are never shared across workers. The process
+        # pool lives on the DATASET and persists across epochs/iterators.
+        if backend not in ("process", "thread"):
+            raise ValueError(f"unknown loader backend {backend!r}")
+        if workers < 0:  # auto: parallel decode only helps with spare cores
+            import os as _os
+            workers = min(8, max(0, (_os.cpu_count() or 1) - 1))
+        self.workers = workers if hasattr(dataset, "fetch") else 0
+        self.backend = backend
+        self._tpool = None
+        if self.workers > 0 and backend == "thread":
+            from concurrent.futures import ThreadPoolExecutor
+            self._tpool = ThreadPoolExecutor(max_workers=workers)
 
     def __len__(self) -> int:
         n = len(self.dataset)
         return n // self.batch_size if self.drop_last else (
             (n + self.batch_size - 1) // self.batch_size)
 
-    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+    def _load(self, idx) -> list:
+        if self.workers > 0 and self.backend == "thread":
+            rngs = self.rng.spawn(len(idx))
+            return list(self._tpool.map(self.dataset.fetch,
+                                        [int(i) for i in idx], rngs))
+        return [self.dataset[int(i)] for i in idx]
+
+    def _batch_indices(self):
         order = np.arange(len(self.dataset))
         if self.shuffle:
             self.rng.shuffle(order)
         for start in range(0, len(order), self.batch_size):
             idx = order[start:start + self.batch_size]
             if self.drop_last and len(idx) < self.batch_size:
-                break
-            items = [self.dataset[int(i)] for i in idx]
+                return
+            yield idx
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        if self.workers > 0 and self.backend == "process":
+            yield from self._iter_process()
+            return
+        for idx in self._batch_indices():
+            items = self._load(idx)
             yield {k: np.stack([it[k] for it in items]) for k in items[0]}
+
+    def _iter_process(self) -> Iterator[Dict[str, np.ndarray]]:
+        """Whole batches assembled in worker processes, `workers + 2`
+        batches in flight — one IPC round-trip per batch.  rngs are
+        spawned in submission order, so results are bit-identical to the
+        thread/serial fetch(rng) paths for the same seed."""
+        from collections import deque
+        from .dataset import _pool_fetch_batch
+        pool = self.dataset.get_pool(self.workers)
+
+        def submit(idx):
+            rngs = self.rng.spawn(len(idx))
+            return pool.submit(_pool_fetch_batch, [int(i) for i in idx],
+                               rngs)
+
+        it = self._batch_indices()
+        futs = deque()
+        for idx in it:
+            futs.append(submit(idx))
+            if len(futs) > self.workers + 2:
+                break
+        while futs:
+            batch = futs.popleft().result()
+            nxt = next(it, None)
+            if nxt is not None:
+                futs.append(submit(nxt))
+            yield batch
 
 
 def prefetch(iterable, depth: int = 2):
@@ -80,10 +143,13 @@ def prefetch(iterable, depth: int = 2):
 
 def device_batches(iterable, mesh=None, axis: str = "data", depth: int = 2):
     """Prefetched batches, placed on the mesh (sharded over `axis`)."""
+    from ..parallel import mesh as pmesh
     for batch in prefetch(iterable, depth):
         if mesh is not None:
             batch = pmesh.shard_batch(batch, mesh, axis)
         yield batch
 
 
-shard_batch = pmesh.shard_batch
+def shard_batch(batch, mesh, axis: str = "data"):
+    from ..parallel import mesh as pmesh
+    return pmesh.shard_batch(batch, mesh, axis)

@@ -46,7 +46,7 @@ def evaluate(cfg: Config, state: TrainState, dataset, *,
     metric_fn = jax.jit(lambda a, b: (psnr(a, b), ssim(a, b)))
 
     it = BatchIterator(dataset, cfg.batch_size, shuffle=False,
-                       drop_last=False)
+                       drop_last=False, workers=cfg.data_workers)
     total = min(max_images, len(dataset))
     psnr_sum = ssim_sum = 0.0
     n = 0

@@ -64,7 +64,7 @@ class Trainer:
                     total_steps: int):
         cfg = self.cfg
         it = BatchIterator(self.train_dataset, cfg.batch_size,
-                           seed=cfg.seed + epoch)
+                           seed=cfg.seed + epoch, workers=cfg.data_workers)
         losses = []
         for batch in device_batches(iter(it), self.mesh, cfg.data_axis):
             rng, sub = jax.random.split(rng)
@@ -88,7 +88,7 @@ class Trainer:
         if self.valid_dataset is None:
             return float("nan")
         it = BatchIterator(self.valid_dataset, self.cfg.batch_size,
-                           shuffle=False)
+                           shuffle=False, workers=self.cfg.data_workers)
         losses = [float(self.eval_step(state, b)["loss_valid"])
                   for b in device_batches(iter(it), self.mesh,
                                           self.cfg.data_axis)]

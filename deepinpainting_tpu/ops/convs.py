@@ -41,15 +41,18 @@ def normal_init(gain: float = 0.02):
 def conv2d(x: jnp.ndarray, kernel: jnp.ndarray, bias: Optional[jnp.ndarray],
            stride: int = 1, padding: int = 0, dilation: int = 1) -> jnp.ndarray:
     """PyTorch-geometry Conv2d.  x: [N,H,W,Cin], kernel: [kh,kw,Cin,Cout]."""
+    # bf16 operands accumulate in f32 on the MXU natively and round once at
+    # the output — numerically identical to preferred_element_type=f32
+    # followed by the downcast below, but unlike it, differentiable: an
+    # explicit f32 preferred breaks jax's conv transpose_rhs (the kernel-
+    # gradient conv is built with bf16 lhs x f32 cotangent and rejects the
+    # mixed dtypes), which made every bf16 TRAINING step fail.
     y = lax.conv_general_dilated(
         x, kernel,
         window_strides=(stride, stride),
         padding=((padding, padding), (padding, padding)),
         rhs_dilation=(dilation, dilation),
         dimension_numbers=DIMENSION_NUMBERS,
-        # accumulate in f32 even for bf16 activations (MXU-native mixed
-        # precision), then return the activation dtype
-        preferred_element_type=jnp.float32,
     ).astype(x.dtype)
     if bias is not None:
         y = y + bias.astype(y.dtype)
@@ -68,13 +71,14 @@ def conv_transpose2d(x: jnp.ndarray, kernel: jnp.ndarray,
     """
     k = kernel.shape[0]
     pad = k - 1 - padding
+    # no preferred_element_type: see conv2d — f32 accumulation is MXU-native
+    # for bf16 and the explicit flag breaks the conv transpose under grad.
     y = lax.conv_general_dilated(
         x, jnp.flip(kernel, axis=(0, 1)),
         window_strides=(1, 1),
         padding=((pad, pad), (pad, pad)),
         lhs_dilation=(stride, stride),
         dimension_numbers=DIMENSION_NUMBERS,
-        preferred_element_type=jnp.float32,
     ).astype(x.dtype)
     if bias is not None:
         y = y + bias.astype(y.dtype)

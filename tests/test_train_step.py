@@ -114,3 +114,18 @@ def test_center_mask_type(state):
     ev = jax.jit(make_eval_step(cfg))
     out = ev(state, tiny_batch())
     assert np.isfinite(float(out["loss_valid"]))
+
+
+@pytest.mark.parametrize("attn", ["lax", "pallas"])
+def test_bf16_train_step_runs_and_is_finite(attn):
+    # regression: preferred_element_type=f32 on bf16 conv operands broke
+    # jax's conv transpose_rhs (mixed-dtype kernel-gradient conv), so every
+    # bf16 TRAINING step failed to trace until round 2 (ops/convs.py).
+    cfg = TINY.replace(dtype="bfloat16", attention_impl=attn,
+                       fine_size=32, use_dropout=False)
+    st = create_state(cfg, jax.random.PRNGKey(0))
+    step = jax.jit(make_train_step(cfg))
+    st2, metrics = step(st, tiny_batch(s=32), jax.random.PRNGKey(1))
+    vals = {k: float(v) for k, v in metrics.items()}
+    assert all(np.isfinite(v) for v in vals.values()), vals
+    assert leaves_delta(st.params_G, st2.params_G) > 0
