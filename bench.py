@@ -30,7 +30,7 @@ derived from the loop carry (gt = ref = previous fake_B, and the mask is
 data-dependently recomputed), so XLA cannot hoist any stage out of the
 loop: round-1 numbers let LICM hoist the loop-invariant VGG/mask/ref work,
 inflating b8 throughput ~2x and manufacturing a phantom b16 "cliff" (see
-BENCH_NOTES.md).  Each config is timed BENCH_REPEATS (default 3) times and
+BENCH_NOTES.md).  Each config is timed BENCH_REPEATS (default 5) times and
 the median reported.
 """
 
@@ -85,22 +85,21 @@ def _chip_peak_flops():
     return None, kind
 
 
-def measure_ours(batch_sizes=(8,), size=256, iters=32,
+def measure_ours(batch_sizes=(32,), size=256, iters=64,
                  repeats=None, with_b1=True):
     # One throughput batch size by default: each jit variant costs ~4 min of
     # (remote) TPU compile in this environment and the persistent cache
-    # cannot capture remote-compiled executables.  batch=8 is the throughput
-    # configuration; see BENCH_NOTES.md for the batch sweep.
+    # cannot capture remote-compiled executables.  batch=32 is the measured
+    # throughput sweet spot; see BENCH_NOTES.md for the batch sweep.
     import jax
     import jax.numpy as jnp
     from deepinpainting_tpu.config import Config
     from deepinpainting_tpu.engine import init_params, make_inference_fn
     _enable_compile_cache()
-    repeats = repeats or int(os.environ.get("BENCH_REPEATS", "3"))
+    repeats = repeats or int(os.environ.get("BENCH_REPEATS", "5"))
 
-    # Inference operating point (BENCH_NOTES.md): bf16 activations with
-    # f32 accumulation (+11% over f32) and the batch-vectorized streamed
-    # Pallas scan kernel -> ~413 img/s at batch 8.
+    # Inference operating point (BENCH_NOTES.md round 2): bf16 activations
+    # with f32 MXU accumulation and the streamed Pallas attention kernels.
     # Knobs for A/B runs: BENCH_DTYPE=float32, BENCH_ATTN=lax.
     cfg = Config(fine_size=size, is_train=False, use_dropout=False,
                  dtype=os.environ.get("BENCH_DTYPE", "bfloat16"),
@@ -335,10 +334,13 @@ def get_baseline():
 
 def main():
     size = int(os.environ.get("BENCH_SIZE", "256"))
-    iters = int(os.environ.get("BENCH_ITERS", "32"))
+    iters = int(os.environ.get("BENCH_ITERS", "64"))
     with_b1 = os.environ.get("BENCH_B1", "1") == "1"
-    ours, best_b, extra = measure_ours(size=size, iters=iters,
-                                       with_b1=with_b1)
+    # batch 32 is the measured throughput sweet spot (BENCH_NOTES.md:
+    # 812 img/s @8, 809 @16, ~883 @32, 836 @64 — and @64 compiles 27 min)
+    batches = (int(os.environ.get("BENCH_BATCH", "32")),)
+    ours, best_b, extra = measure_ours(batch_sizes=batches, size=size,
+                                       iters=iters, with_b1=with_b1)
     baseline = get_baseline()
     vs = (ours / baseline) if baseline else None
     rec = {
