@@ -52,7 +52,7 @@ class Config:
     # behavior.
     faithful_backward_truncation: bool = True   # LongTensor-truncated attention rows in bwd
     faithful_detached_cosis: bool = True        # InnerCos losses detached from G grads
-    attention_impl: str = "pallas"              # 'pallas' | 'lax' (pallas: 2.5x faster train step, +11% inference on TPU; interprets on CPU)
+    attention_impl: str = "pallas"              # 'pallas' | 'lax' (e2e a wash at 256px, pallas wins isolated + at 512px; interprets on CPU)
 
     # ---- masks -------------------------------------------------------------
     mask_type: str = "random"      # 'center' | 'random'
