@@ -208,3 +208,14 @@ def test_threaded_loading_deterministic_and_valid(data_dirs):
     serial = list(BatchIterator(ds3, batch_size=2, seed=3, workers=0))
     for x, y in zip(a, serial):
         np.testing.assert_array_equal(x["image"], y["image"])
+
+
+def test_selfref_process_pool_roundtrip(data_dirs):
+    # SelfRefDataset overrides the constructor signature; the process-pool
+    # ctor spec must rebuild it correctly in workers (ref == image).
+    ds = SelfRefDataset(data_dirs["img"], data_dirs["mask"], fine_size=S)
+    batches = list(BatchIterator(ds, batch_size=2, shuffle=False,
+                                 workers=2, backend="process"))
+    assert len(batches) == 2
+    for b in batches:
+        np.testing.assert_array_equal(b["ref"], b["image"])
