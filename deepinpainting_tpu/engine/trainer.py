@@ -70,15 +70,17 @@ class Trainer:
             rng, sub = jax.random.split(rng)
             state, metrics = self.train_step(state, batch, sub)
             total_steps += cfg.batch_size
-            losses.append(float(metrics["loss"]))
+            # ONE host fetch for all step metrics: per-scalar float() would
+            # pay a blocking device round trip each (~32 ms over a tunnel)
+            metrics = {k: float(v) for k, v in
+                       jax.device_get(metrics).items()}
+            losses.append(metrics["loss"])
             if cfg.debug_nan and not np.isfinite(losses[-1]):
                 # NaN guard (SURVEY.md §5 sanitizers row): fail loudly at
                 # the offending step instead of training on garbage.
-                bad = {k: float(v) for k, v in metrics.items()}
                 raise FloatingPointError(
-                    f"non-finite loss at step {total_steps}: {bad}")
-            self.logger.log_step(total_steps,
-                                 {k: float(v) for k, v in metrics.items()})
+                    f"non-finite loss at step {total_steps}: {metrics}")
+            self.logger.log_step(total_steps, metrics)
             if cfg.display_freq and total_steps % cfg.display_freq == 0:
                 self._dump_visuals(state, batch, epoch, total_steps)
         return state, float(np.mean(losses)) if losses else float("nan"), \

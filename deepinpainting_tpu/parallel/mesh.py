@@ -54,7 +54,11 @@ def shard_batch(batch: Dict[str, Any], mesh: Mesh,
     if jax.process_count() > 1:
         return {k: jax.make_array_from_process_local_data(sh, np.asarray(v))
                 for k, v in batch.items()}
-    return {k: jax.device_put(v, sh) for k, v in batch.items()}
+    # one device_put of the whole pytree (the spec only names the leading
+    # axis, so it applies to every leaf rank): a single host->device
+    # dispatch instead of one per tensor — the per-call overhead is ~32 ms
+    # over a remote-TPU tunnel (BENCH_NOTES.md round 2)
+    return jax.device_put(batch, sh)
 
 
 def replicate_state(state, mesh: Mesh):
