@@ -153,10 +153,10 @@ def measure_ours(batch_sizes=(32,), size=256, iters=64,
         print(f"[bench] ours batch={b}: {ips:.1f} img/s "
               f"({med * 1000:.2f} ms/iter, {len(ts)} repeats, "
               f"spread {spread:.1f}%)", file=sys.stderr)
+        out[f"p50_ms_per_image_b{b}"] = round(med * 1000 / b, 3)
         if ips > best:
             best, best_b = ips, b
-            out["spread_pct"] = round(spread, 2)
-            out[f"p50_ms_per_image_b{b}"] = round(med * 1000 / b, 3)
+            out["spread_pct"] = round(spread, 2)  # spread of the winner
 
     if with_b1 and 1 not in batch_sizes:
         try:

@@ -52,10 +52,6 @@ def _pool_init(cls, args, kwargs):
     _WORKER_DS = cls(*args, **kwargs)
 
 
-def _pool_fetch(index: int, rng: np.random.Generator):
-    return _WORKER_DS.fetch(index, rng)
-
-
 def _pool_fetch_batch(indices, rngs):
     """Assemble one whole stacked batch in the worker — one IPC round-trip
     per batch (per-item tasks measured SLOWER than serial: the pickle +

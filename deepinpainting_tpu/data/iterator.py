@@ -65,11 +65,22 @@ class BatchIterator:
             (n + self.batch_size - 1) // self.batch_size)
 
     def _load(self, idx) -> list:
-        if self.workers > 0 and self.backend == "thread":
+        # every path draws the SAME per-item spawned child generators, so
+        # the produced data stream is bit-identical for a given seed no
+        # matter the worker count or backend — training is reproducible
+        # across hosts whose data_workers=-1 resolves differently
+        if hasattr(self.dataset, "fetch"):
             rngs = self.rng.spawn(len(idx))
-            return list(self._tpool.map(self.dataset.fetch,
-                                        [int(i) for i in idx], rngs))
+            if self.workers > 0 and self.backend == "thread":
+                return list(self._tpool.map(self.dataset.fetch,
+                                            [int(i) for i in idx], rngs))
+            return [self.dataset.fetch(int(i), r)
+                    for i, r in zip(idx, rngs)]
         return [self.dataset[int(i)] for i in idx]
+
+    def __del__(self):
+        if getattr(self, "_tpool", None) is not None:
+            self._tpool.shutdown(wait=False)
 
     def _batch_indices(self):
         order = np.arange(len(self.dataset))

@@ -8,6 +8,7 @@ running prints, and averages over the first `max_images` (reference: 500).
 
 from __future__ import annotations
 
+import itertools
 import os
 from typing import Dict, Optional
 
@@ -50,10 +51,14 @@ def evaluate(cfg: Config, state: TrainState, dataset, *,
     total = min(max_images, len(dataset))
     psnr_sum = ssim_sum = 0.0
     n = 0
-    for batch in device_batches(_pad_tail(iter(it), cfg.batch_size), mesh,
-                                cfg.data_axis):
-        if n >= total:
-            break
+    # Bound the stream at the SOURCE so the generator chain exhausts
+    # naturally: breaking out of device_batches would abandon the prefetch
+    # thread blocked on its queue (holding decoded batches) and leave
+    # in-flight pool futures decoding work nobody reads.
+    n_batches = -(-total // cfg.batch_size)
+    batches = itertools.islice(_pad_tail(iter(it), cfg.batch_size),
+                               n_batches)
+    for batch in device_batches(batches, mesh, cfg.data_axis):
         out = eval_step(state, batch)
         vis = out["visuals"]
         real_B = np.asarray(vis["real_B"])

@@ -187,27 +187,25 @@ def test_network_npz_export_import_roundtrip(tmp_path):
                     jax.tree_util.tree_leaves(state.params_G)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
-def test_threaded_loading_deterministic_and_valid(data_dirs):
-    # workers>0 decodes batch items in a thread pool with per-item spawned
-    # generators: same seed => identical epoch (deterministic), masks stay
-    # binary, and gt images match the serial path exactly (gt decoding has
-    # no randomness; only mask pairing / ref augmentation draw differently).
-    ds = InpaintDataset(data_dirs["img"], data_dirs["mask"],
-                        data_dirs["ref"], fine_size=S)
-    a = list(BatchIterator(ds, batch_size=2, seed=3, workers=4))
-    ds2 = InpaintDataset(data_dirs["img"], data_dirs["mask"],
-                         data_dirs["ref"], fine_size=S)
-    b = list(BatchIterator(ds2, batch_size=2, seed=3, workers=4))
-    assert len(a) == len(b) == 2
-    for x, y in zip(a, b):
-        for k in ("image", "mask", "ref"):
-            np.testing.assert_array_equal(x[k], y[k])
-        assert set(np.unique(x["mask"]).tolist()) <= {0.0, 1.0}
-    ds3 = InpaintDataset(data_dirs["img"], data_dirs["mask"],
-                         data_dirs["ref"], fine_size=S)
-    serial = list(BatchIterator(ds3, batch_size=2, seed=3, workers=0))
-    for x, y in zip(a, serial):
-        np.testing.assert_array_equal(x["image"], y["image"])
+def test_parallel_loading_backend_invariant(data_dirs):
+    # workers>0 decodes batches in worker processes (or a thread pool);
+    # all paths — serial, thread, process — draw the same per-item spawned
+    # child generators, so one seed yields a BIT-IDENTICAL epoch regardless
+    # of worker count or backend (training stays reproducible across hosts
+    # whose data_workers=-1 resolves differently).
+    def epoch(workers, backend):
+        ds = InpaintDataset(data_dirs["img"], data_dirs["mask"],
+                            data_dirs["ref"], fine_size=S)
+        return list(BatchIterator(ds, batch_size=2, seed=3,
+                                  workers=workers, backend=backend))
+    a = epoch(4, "process")
+    for other in (epoch(4, "process"), epoch(2, "thread"),
+                  epoch(0, "process")):
+        assert len(a) == len(other) == 2
+        for x, y in zip(a, other):
+            for k in ("image", "mask", "ref"):
+                np.testing.assert_array_equal(x[k], y[k])
+            assert set(np.unique(x["mask"]).tolist()) <= {0.0, 1.0}
 
 
 def test_selfref_process_pool_roundtrip(data_dirs):
