@@ -128,20 +128,34 @@ def measure_ours(batch_sizes=(32,), size=256, iters=64,
         """Per-iter seconds by long/short differencing (overhead cancels).
 
         One compile per batch size (dynamic trip count); `repeats`
-        (short, long) pairs -> sorted per-iter estimates."""
+        (short, long) pairs -> sorted per-iter estimates.  On a noisy
+        tunnel day the spread can blow past the methodology's ~1.5%
+        (BENCH_r02 recorded 16.6%), so repeats auto-escalate to
+        BENCH_MAX_REPEATS (default 9) whenever spread > 5% — the median
+        of the larger sample is the artifact of record."""
         img, mask, _ = _example(b, size)
         gt, mk = jnp.asarray(img), jnp.asarray(mask)
         n_small = max(2, n // 8)
+        max_repeats = int(os.environ.get("BENCH_MAX_REPEATS", "9"))
         np.asarray(chained(p3, mk, gt, n))  # compile + warm
         per_iter = []
-        for _ in range(repeats):
+        while True:
             t0 = time.time()
             np.asarray(chained(p3, mk, gt, n_small))
             t1 = time.time()
             np.asarray(chained(p3, mk, gt, n_small + n))
             t2 = time.time()
             per_iter.append(((t2 - t1) - (t1 - t0)) / n)
-        return sorted(per_iter)
+            if len(per_iter) < repeats:
+                continue
+            s = sorted(per_iter)
+            spread = (s[-1] - s[0]) / s[len(s) // 2]
+            if spread <= 0.05 or len(per_iter) >= max_repeats:
+                return s
+            if len(per_iter) == repeats:
+                print(f"[bench] spread {spread * 100:.1f}% > 5% after "
+                      f"{repeats} repeats — escalating to {max_repeats}",
+                      file=sys.stderr)
 
     out = {}
     best, best_b = 0.0, batch_sizes[0]
@@ -350,6 +364,20 @@ def main():
         "vs_baseline": round(vs, 2) if vs else None,
     }
     rec.update(extra)
+    # BASELINE config 3 (512x512 irregular-mask batched inference) as extra
+    # keys of the same record, so the driver artifact carries both
+    # resolutions.  b8 bf16+pallas is the measured 512px operating point
+    # (BENCH_NOTES.md "512px coverage"); one extra jit variant ~4 min
+    # remote compile.  BENCH_512=0 skips.
+    if os.environ.get("BENCH_512", "1") == "1" and size == 256:
+        try:
+            ours5, b5, extra5 = measure_ours(batch_sizes=(8,), size=512,
+                                             iters=32, with_b1=False)
+            rec[f"images_per_sec_512px_b{b5}"] = round(ours5, 2)
+            for k, v in extra5.items():
+                rec[k + "_512px"] = v
+        except Exception as e:  # pragma: no cover
+            print(f"[bench] 512px measurement failed: {e}", file=sys.stderr)
     print(json.dumps(rec))
 
 

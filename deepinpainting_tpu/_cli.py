@@ -73,6 +73,9 @@ def evaluate(argv=None):
     ap.add_argument("--max_images", type=int, default=500)
     ap.add_argument("--batch_size", type=int, default=0,
                     help="override the checkpoint config's batch size")
+    ap.add_argument("--vgg_weights", default="",
+                    help="override the checkpoint config's vgg npz path "
+                         "(e.g. when the converted file moved)")
     ap.add_argument("--save_dir", default="", help="dump 2x2 eval grids here")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args(argv)
@@ -93,6 +96,8 @@ def evaluate(argv=None):
         checkpoints_dir=args.checkpoints_dir, name=args.name, is_train=False)
     if args.batch_size:
         cfg = cfg.replace(batch_size=args.batch_size)
+    if args.vgg_weights:
+        cfg = cfg.replace(vgg_weights=args.vgg_weights)
 
     mgr = CheckpointManager(cfg)
     state = mgr.restore(args.which_epoch,

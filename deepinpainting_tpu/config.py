@@ -35,10 +35,12 @@ class Config:
     which_model_netP: str = "unet_256"
     which_model_netD: str = "basic"
     which_model_netF: str = "feature"
-    norm: str = "instance"        # 'instance' | 'batch' | 'none'
+    norm: str = "instance"        # only 'instance' is supported; build_models
+                                  # rejects others loudly (networks.py:27-28)
     use_dropout: bool = False
-    init_type: str = "normal"
-    init_gain: float = 0.02
+    init_type: str = "normal"     # only 'normal'; rejected otherwise
+                                  # (networks.py:66-67 raises for unknown init)
+    init_gain: float = 0.02       # normal-init std, threaded to every conv
 
     # ---- attention (IPSR / CSA shift layer) --------------------------------
     threshold: float = 5.0 / 16.0  # feature-mask binarization threshold
@@ -46,7 +48,8 @@ class Config:
     shift_sz: int = 1              # feature patch size
     mask_thred: float = 1.0        # per-patch mask-sum threshold for "masked"
     triple_weight: float = 1.0     # backward attention gradient weight
-    fixed_mask: int = 1
+    # (the reference's `fixed_mask` knob is intentionally absent: its fast
+    # path is dead — cal_fixed_flag is never False, models/IPSR_model.py:23,53)
     # Reference-quirk fidelity switches (SURVEY.md §7.3 item 4).  `True`
     # reproduces the reference bit-for-bit; `False` enables the corrected
     # behavior.
@@ -88,6 +91,9 @@ class Config:
     # ---- compute -----------------------------------------------------------
     dtype: str = "float32"         # activation compute dtype: 'float32' | 'bfloat16'
     debug_nan: bool = False        # halt training on non-finite losses
+    metrics_every: int = 10        # fetch step metrics to host every K steps
+                                   # (amortizes the blocking device sync;
+                                   # every step still lands in the CSV)
     seed: int = 0
     vgg_weights: str = "random"    # 'random' or a path to a converted .npz
     vgg_width_scale: float = 1.0   # <1 only for scaled-down test configs

@@ -11,7 +11,10 @@ byte-identical validation twin util/ref_data_load.py (Ref_Data_load):
   * ref: RandomResizedCrop(scale 0.8-1.0, ratio 1:1) + ColorJitter(0.1 x4)
     + Normalize (train.ipynb cell 1 transform_ref)
 
-Returns NHWC float32 numpy — device placement happens in the iterator.
+Returns NHWC numpy — uint8 by default (normalized to [-1,1] on device by
+engine.inpaint.normalize_batch; 4x cheaper host->device transport), float32
+host-normalized with transport="float32".  Device placement happens in the
+iterator.
 """
 
 from __future__ import annotations
@@ -63,10 +66,12 @@ def _pool_fetch_batch(indices, rngs):
 class InpaintDataset:
     def __init__(self, img_root: str, mask_root: str, ref_root: str,
                  fine_size: int = 256, *, augment_ref: bool = True,
-                 seed: int = 0, mask_per_index: bool = False):
+                 seed: int = 0, mask_per_index: bool = False,
+                 transport: str = "uint8"):
         self._ctor = (type(self), (img_root, mask_root, ref_root, fine_size),
                       dict(augment_ref=augment_ref, seed=seed,
-                           mask_per_index=mask_per_index))
+                           mask_per_index=mask_per_index,
+                           transport=transport))
         self._pool = None
         self._pool_workers = 0
         self.paths = _glob_images(img_root)
@@ -83,6 +88,14 @@ class InpaintDataset:
         # mask_per_index=True gives deterministic eval (mask i for image i);
         # False is reference behavior (random mask per fetch).
         self.mask_per_index = mask_per_index
+        # 'uint8' (default) ships raw pixels + 0/1 masks and normalizes on
+        # device — 4x fewer host->device bytes; 'float32' normalizes on the
+        # host (to_normalized_array).  Both produce BIT-IDENTICAL training
+        # tensors: the [-1,1] map is the same f32 arithmetic either side
+        # (tests/test_data_pipeline.py::test_uint8_transport_bit_identical).
+        if transport not in ("uint8", "float32"):
+            raise ValueError(f"unknown transport {transport!r}")
+        self.transport = transport
         self.rng = np.random.default_rng(seed)
 
     def __len__(self) -> int:
@@ -121,6 +134,10 @@ class InpaintDataset:
         else:
             ref = ref.resize((s, s), Image.BILINEAR)
 
+        if self.transport == "uint8":
+            return {"image": T.to_uint8_array(gt),
+                    "mask": mask.astype(np.uint8),
+                    "ref": T.to_uint8_array(ref)}
         return {"image": T.to_normalized_array(gt),
                 "mask": mask,
                 "ref": T.to_normalized_array(ref)}
@@ -131,18 +148,35 @@ class InpaintDataset:
     def get_pool(self, workers: int):
         """Persistent spawn-based worker pool, lazily (re)built when
         `workers` changes. Lives on the dataset so it survives across
-        epochs/iterators."""
+        epochs/iterators.
+
+        Constraint: concurrent iterators over ONE dataset must use the same
+        worker count — a rebuild retires the old executor (queued futures
+        still run, but any iterator still submitting to it will raise
+        'cannot schedule new futures after shutdown' mid-epoch).  The pool
+        is released by close() (registered atexit) or interpreter exit.
+        """
         if self._pool is None or self._pool_workers != workers:
+            import atexit
             import multiprocessing as mp
             from concurrent.futures import ProcessPoolExecutor
-            if self._pool is not None:
-                self._pool.shutdown(wait=False)
+            self.close()
             cls, args, kwargs = self._ctor
             self._pool = ProcessPoolExecutor(
                 max_workers=workers, mp_context=mp.get_context("spawn"),
                 initializer=_pool_init, initargs=(cls, args, kwargs))
             self._pool_workers = workers
+            atexit.register(self.close)
         return self._pool
+
+    def close(self):
+        """Shut down the worker pool (in-flight batches finish; no new
+        submissions).  Safe to call repeatedly; re-fetching via get_pool()
+        builds a fresh pool."""
+        if self._pool is not None:
+            self._pool.shutdown(wait=False)
+            self._pool = None
+            self._pool_workers = 0
 
     def __getstate__(self):
         # the executor must not travel into worker processes
@@ -157,13 +191,15 @@ class SelfRefDataset(InpaintDataset):
     (test.ipynb cell 3: `model.set_input(image, mask, image)`)."""
 
     def __init__(self, img_root: str, mask_root: str, fine_size: int = 256,
-                 *, seed: int = 0, mask_per_index: bool = True):
+                 *, seed: int = 0, mask_per_index: bool = True,
+                 transport: str = "uint8"):
         super().__init__(img_root, mask_root, img_root, fine_size,
                          augment_ref=False, seed=seed,
-                         mask_per_index=mask_per_index)
+                         mask_per_index=mask_per_index, transport=transport)
         # own ctor signature differs from the base — fix the pool spec
         self._ctor = (type(self), (img_root, mask_root, fine_size),
-                      dict(seed=seed, mask_per_index=mask_per_index))
+                      dict(seed=seed, mask_per_index=mask_per_index,
+                           transport=transport))
 
     def fetch(self, index: int,
               rng: Optional[np.random.Generator] = None

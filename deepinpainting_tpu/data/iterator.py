@@ -118,7 +118,7 @@ class BatchIterator:
         futs = deque()
         for idx in it:
             futs.append(submit(idx))
-            if len(futs) > self.workers + 2:
+            if len(futs) >= self.workers + 2:
                 break
         while futs:
             batch = futs.popleft().result()

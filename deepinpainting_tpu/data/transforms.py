@@ -85,3 +85,11 @@ def color_jitter(rng: np.random.Generator, img: Image.Image,
 def to_normalized_array(img: Image.Image) -> np.ndarray:
     """ToTensor + Normalize(0.5,0.5): uint8 PIL -> float32 [H,W,3] in [-1,1]."""
     return np.asarray(img, np.float32) / 127.5 - 1.0
+
+
+def to_uint8_array(img: Image.Image) -> np.ndarray:
+    """Raw uint8 [H,W,3] — the cheap host->device transport form.  The
+    normalization to [-1,1] (`x/127.5 - 1`, identical f32 arithmetic to
+    `to_normalized_array`) runs on device (engine.inpaint.normalize_batch),
+    cutting batch upload bytes 4x."""
+    return np.asarray(img, np.uint8)

@@ -19,7 +19,6 @@ from ..config import Config
 from ..data.iterator import BatchIterator, device_batches
 from ..parallel import mesh as pmesh
 from ..utils import imaging
-from ..utils.metrics import psnr, ssim
 from .state import TrainState
 
 
@@ -44,7 +43,6 @@ def evaluate(cfg: Config, state: TrainState, dataset, *,
              mesh=None, verbose: bool = True) -> Dict[str, float]:
     mesh = mesh if mesh is not None else pmesh.make_mesh(axis=cfg.data_axis)
     eval_step = pmesh.make_dp_eval_step(cfg, mesh)
-    metric_fn = jax.jit(lambda a, b: (psnr(a, b), ssim(a, b)))
 
     it = BatchIterator(dataset, cfg.batch_size, shuffle=False,
                        drop_last=False, workers=cfg.data_workers)
@@ -60,20 +58,21 @@ def evaluate(cfg: Config, state: TrainState, dataset, *,
                                n_batches)
     for batch in device_batches(batches, mesh, cfg.data_axis):
         out = eval_step(state, batch)
-        vis = out["visuals"]
-        real_B = np.asarray(vis["real_B"])
-        fake_B = np.asarray(vis["fake_B"])
-        for i in range(real_B.shape[0]):
-            if n >= total:
-                break
-            p, s = metric_fn(real_B[i][None], fake_B[i][None])
-            p, s = float(p), float(s)
+        # PSNR/SSIM are computed per-sample INSIDE eval_step; one tiny
+        # fetch of the metric vectors per batch.  The image tensors are
+        # only pulled to the host when grids are actually being saved.
+        psnr_v, ssim_v = jax.device_get((out["psnr"], out["ssim"]))
+        take = min(int(psnr_v.shape[0]), total - n)
+        vis = ({k: np.asarray(v) for k, v in out["visuals"].items()}
+               if save_dir else None)
+        for i in range(take):
+            p, s = float(psnr_v[i]), float(ssim_v[i])
             psnr_sum += p
             ssim_sum += s
             n += 1
-            if save_dir:
+            if vis is not None:
                 imaging.save_grid(
-                    [np.asarray(vis[k])[i]
+                    [vis[k][i]
                      for k in ("real_A", "real_Ref", "fake_P", "fake_B")],
                     os.path.join(save_dir, f"Eval_({n}).jpg"), nrow=2)
             if verbose:

@@ -69,6 +69,19 @@ def build_models(cfg: Config) -> Models:
         raise NotImplementedError(cfg.which_model_netD)
     if cfg.which_model_netF != "feature":
         raise NotImplementedError(cfg.which_model_netF)
+    if cfg.norm != "instance":
+        # get_norm_layer raises for unknown norms (networks.py:27-28); here
+        # 'batch' is also rejected: running stats are antithetical to pure
+        # functional steps and the reference always runs 'instance'
+        # (app.py:27), so a silent fallback would misreport capability.
+        raise NotImplementedError(
+            f"normalization layer [{cfg.norm}] is not found "
+            "(only 'instance' is supported)")
+    if cfg.init_type != "normal":
+        # init_weights raises for unknown init methods (networks.py:66-67).
+        raise NotImplementedError(
+            f"initialization method [{cfg.init_type}] is not implemented "
+            "(only 'normal' is supported)")
     # unet_256 geometry generalized: one skip level per halving down to 1x1,
     # which keeps the attention level at fine_size/8 (networks.py:195 comment
     # notes the same depth rule for 512).
@@ -86,13 +99,17 @@ def build_models(cfg: Config) -> Models:
                             use_dropout=cfg.use_dropout,
                             triple_weight=cfg.triple_weight,
                             truncate_backward=cfg.faithful_backward_truncation,
-                            attention_impl=cfg.attention_impl),
+                            attention_impl=cfg.attention_impl,
+                            init_gain=cfg.init_gain),
         P=UnetGenerator(input_nc=cfg.input_nc, output_nc=cfg.output_nc,
                         num_downs=num_downs, ngf=cfg.ngf,
-                        use_dropout=cfg.use_dropout),
+                        use_dropout=cfg.use_dropout,
+                        init_gain=cfg.init_gain),
         D=NLayerDiscriminator(input_nc=cfg.input_nc, ndf=cfg.ndf,
-                              use_sigmoid=use_sigmoid),
-        F=PFDiscriminator(width=max(1, int(512 * cfg.vgg_width_scale))),
+                              use_sigmoid=use_sigmoid,
+                              init_gain=cfg.init_gain),
+        F=PFDiscriminator(width=max(1, int(512 * cfg.vgg_width_scale)),
+                          init_gain=cfg.init_gain),
     )
 
 
@@ -137,6 +154,38 @@ def create_state(cfg: Config, rng: jax.Array) -> TrainState:
 # ---------------------------------------------------------------------------
 # input preparation (set_input / set_latent_mask equivalents)
 # ---------------------------------------------------------------------------
+
+def normalize_image(x: jnp.ndarray) -> jnp.ndarray:
+    """uint8 transport -> reference tensor semantics, on device: ToTensor +
+    Normalize(0.5,0.5) == x/127.5 - 1 (train.ipynb cell 1).  The same f32
+    arithmetic as the host-side transforms.to_normalized_array, so both
+    transports produce bit-identical training tensors.  f32 inputs pass
+    through (already host-normalized)."""
+    if x.dtype == jnp.uint8:
+        return x.astype(jnp.float32) / 127.5 - 1.0
+    return x
+
+
+def normalize_mask(m: jnp.ndarray) -> jnp.ndarray:
+    """Mask `.bool()` binarization (train.ipynb cell 2) for uint8 transport;
+    float masks (already binarized at load) pass through."""
+    if m.dtype != jnp.float32:
+        return (m > 0).astype(jnp.float32)
+    return m
+
+
+def normalize_batch(batch: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
+    """On-device normalization of a host batch (either transport).  Runs at
+    the top of every jitted step so uint8 batches upload 4x fewer bytes and
+    XLA fuses the normalize into the first consumers."""
+    out = dict(batch)
+    for k in ("image", "ref"):
+        if k in out:
+            out[k] = normalize_image(out[k])
+    if "mask" in out:
+        out["mask"] = normalize_mask(out["mask"])
+    return out
+
 
 def prepare_masks(cfg: Config, mask: jnp.ndarray
                   ) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -211,6 +260,7 @@ def make_train_step(cfg: Config):
 
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
                    rng: jax.Array):
+        batch = normalize_batch(batch)
         gt = batch["image"]
         ref = batch["ref"]
         mask = resolve_mask(cfg, batch["mask"])
@@ -317,6 +367,7 @@ def make_eval_step(cfg: Config):
     dt = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
 
     def eval_step(state: TrainState, batch: Dict[str, jnp.ndarray]):
+        batch = normalize_batch(batch)
         gt = batch["image"]
         ref = batch["ref"]
         mask = resolve_mask(cfg, batch["mask"])
@@ -329,6 +380,13 @@ def make_eval_step(cfg: Config):
         loss_ipsr = ra_gan_loss(gt, fwd.fake_B, False, cfg.gan_type)
         loss_valid = (l1_loss(fwd.fake_B, gt)
                       + l1_loss(fwd.fake_P, gt)) * cfg.lambda_A
+        # per-sample PSNR/SSIM computed in-graph (test.ipynb cell 3
+        # formulas): the evaluator then needs ONE device call per batch
+        # instead of a metric dispatch per image.
+        from ..utils.metrics import psnr, ssim
+        psnr_v, ssim_v = jax.vmap(
+            lambda a, b: (psnr(a[None], b[None]), ssim(a[None], b[None])))(
+                gt, fwd.fake_B)
         visuals = {
             # get_current_visuals parity (models/IPSR.py:288-295); real_A is
             # the post-aliasing zero-holed input the reference would hold.
@@ -337,6 +395,7 @@ def make_eval_step(cfg: Config):
         }
         return {"fake_B": fwd.fake_B, "fake_P": fwd.fake_P,
                 "loss_ipsr": loss_ipsr, "loss_valid": loss_valid,
+                "psnr": psnr_v, "ssim": ssim_v,
                 "visuals": visuals}
 
     return eval_step
@@ -353,7 +412,8 @@ def make_coarse_fn(cfg: Config):
     dt = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
 
     def coarse(params_P, gt, mask):
-        mask = resolve_mask(cfg, mask)
+        gt = normalize_image(gt)
+        mask = resolve_mask(cfg, normalize_mask(mask))
         masked_mean = M.fill_hole_with_mean(gt, mask)
         fake_P = models.P.apply({"params": params_P},
                                 masked_mean.astype(dt), train=False)
@@ -371,7 +431,8 @@ def make_inference_fn(cfg: Config):
     dt = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
 
     def infer(params_G, params_P, vgg, gt, mask, ref):
-        mask = resolve_mask(cfg, mask)
+        gt, ref = normalize_image(gt), normalize_image(ref)
+        mask = resolve_mask(cfg, normalize_mask(mask))
         _, flag = prepare_masks(cfg, mask)
         # inference-only: VGG also runs in the compute dtype
         ref_feat = apply_vgg16(vgg, ref.astype(dt),

@@ -60,8 +60,10 @@ class PlateauScheduler:
 @dataclass
 class EarlyStopping:
     """Patience counter on validation loss — parity models/Early.py:4-21
-    (note the reference counts every non-improving epoch, strict '<')."""
-    patience: int = 8
+    (note the reference counts every non-improving epoch, strict '<').
+    Default patience matches the reference (models/Early.py:4, train.ipynb
+    cell 2: EarlyStopping(20))."""
+    patience: int = 20
     best_score: float = None  # type: ignore
     counter: int = 0
     early_stop: bool = False

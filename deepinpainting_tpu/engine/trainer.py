@@ -66,23 +66,36 @@ class Trainer:
         it = BatchIterator(self.train_dataset, cfg.batch_size,
                            seed=cfg.seed + epoch, workers=cfg.data_workers)
         losses = []
+        window = []  # buffered (step, device-metrics) awaiting ONE fetch
+        every = max(1, cfg.metrics_every)
+
+        def flush():
+            # One blocking device round trip (~32 ms over a tunnel) per
+            # `metrics_every` steps instead of per step; every step still
+            # gets its own CSV row, and the NaN guard checks the whole
+            # fetched window (halt is at most `every-1` steps late).
+            fetched = jax.device_get([m for _, m in window])
+            for (step_n, _), m in zip(window, fetched):
+                m = {k: float(v) for k, v in m.items()}
+                losses.append(m["loss"])
+                if cfg.debug_nan and not np.isfinite(m["loss"]):
+                    # NaN guard (SURVEY.md §5 sanitizers row): fail loudly
+                    # at the offending step, not train on garbage.
+                    raise FloatingPointError(
+                        f"non-finite loss at step {step_n}: {m}")
+                self.logger.log_step(step_n, m)
+            window.clear()
+
         for batch in device_batches(iter(it), self.mesh, cfg.data_axis):
             rng, sub = jax.random.split(rng)
             state, metrics = self.train_step(state, batch, sub)
             total_steps += cfg.batch_size
-            # ONE host fetch for all step metrics: per-scalar float() would
-            # pay a blocking device round trip each (~32 ms over a tunnel)
-            metrics = {k: float(v) for k, v in
-                       jax.device_get(metrics).items()}
-            losses.append(metrics["loss"])
-            if cfg.debug_nan and not np.isfinite(losses[-1]):
-                # NaN guard (SURVEY.md §5 sanitizers row): fail loudly at
-                # the offending step instead of training on garbage.
-                raise FloatingPointError(
-                    f"non-finite loss at step {total_steps}: {metrics}")
-            self.logger.log_step(total_steps, metrics)
+            window.append((total_steps, metrics))
+            if len(window) >= every:
+                flush()
             if cfg.display_freq and total_steps % cfg.display_freq == 0:
                 self._dump_visuals(state, batch, epoch, total_steps)
+        flush()
         return state, float(np.mean(losses)) if losses else float("nan"), \
             total_steps
 

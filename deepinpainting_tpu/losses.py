@@ -30,8 +30,19 @@ def _mse(a, b):
 
 
 def _bce_with_labels(pred, label):
-    # BCELoss on probabilities (the reference applies sigmoid in netD when
-    # gan_type == 'vanilla', models/IPSR.py:58-61).
+    """BCELoss on probabilities — DELIBERATE DEVIATION from the reference.
+
+    The reference's 'vanilla' branch is broken as written: netD applies
+    sigmoid (models/IPSR.py:58-61) but GANLoss then feeds nn.BCELoss the
+    relativistic difference `pred - mean(pred_other)` (networks.py:175-183),
+    which lies in (-1, 1) and makes BCELoss error (torch asserts inputs in
+    [0, 1]) or produce log of a negative value.  No shipped config uses it
+    (app.py:42 and both notebooks run 'lsgan').  We keep the capability
+    usable by clipping the difference into [1e-7, 1-1e-7] before BCE —
+    a corrected behavior, covered by tests/test_train_step.py's vanilla
+    tests rather than a faithful_* flag (there is no working reference
+    behavior to be faithful to).
+    """
     p = jnp.clip(pred, 1e-7, 1 - 1e-7)
     return -jnp.mean(label * jnp.log(p) + (1 - label) * jnp.log(1 - p))
 

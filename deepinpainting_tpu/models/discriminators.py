@@ -24,24 +24,27 @@ class NLayerDiscriminator(nn.Module):
     ndf: int = 64
     n_layers: int = 3
     use_sigmoid: bool = False
+    init_gain: float = 0.02
 
     @nn.compact
     def __call__(self, x):
-        y = TorchConv(self.ndf, 4, stride=2, padding=1, name="conv0")(x)
+        g = self.init_gain
+        y = TorchConv(self.ndf, 4, stride=2, padding=1, name="conv0",
+                      init_gain=g)(x)
         y = leaky_relu(y, 0.2)
         nf = 1
         for n in range(1, self.n_layers):
             nf = min(2 ** n, 8)
             y = TorchConv(self.ndf * nf, 4, stride=2, padding=1,
-                          name=f"conv{n}")(y)
+                          name=f"conv{n}", init_gain=g)(y)
             y = InstanceNorm(name=f"norm{n}")(y)
             y = leaky_relu(y, 0.2)
         nf = min(2 ** self.n_layers, 8)
         y = TorchConv(self.ndf * nf, 4, stride=1, padding=1,
-                      name=f"conv{self.n_layers}")(y)
+                      name=f"conv{self.n_layers}", init_gain=g)(y)
         y = InstanceNorm(name=f"norm{self.n_layers}")(y)
         y = leaky_relu(y, 0.2)
-        y = TorchConv(1, 4, stride=1, padding=1, name="head")(y)
+        y = TorchConv(1, 4, stride=1, padding=1, name="head", init_gain=g)(y)
         if self.use_sigmoid:
             y = nn.sigmoid(y)
         return y
@@ -53,6 +56,7 @@ class PFDiscriminator(nn.Module):
     width != 512 is used only by scaled-down test configs.
     """
     width: int = 512
+    init_gain: float = 0.02
 
     @nn.compact
     def __call__(self, x):
@@ -60,17 +64,21 @@ class PFDiscriminator(nn.Module):
         # that (only sub-64px debug configs — relu3_3 is fine_size/8) the
         # last conv would produce a zero-sized map and mean() over it NaNs
         # the whole GAN loss.  Zero-pad up to the minimum instead.
+        g = self.init_gain
         pad_h = max(0, 8 - x.shape[1])
         pad_w = max(0, 8 - x.shape[2])
         if pad_h or pad_w:
             x = jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
-        y = TorchConv(self.width, 4, stride=2, padding=1, name="conv0")(x)
+        y = TorchConv(self.width, 4, stride=2, padding=1, name="conv0",
+                      init_gain=g)(x)
         y = leaky_relu(y, 0.2)
-        y = TorchConv(self.width, 4, stride=2, padding=1, name="conv1")(y)
+        y = TorchConv(self.width, 4, stride=2, padding=1, name="conv1",
+                      init_gain=g)(y)
         # affine=False InstanceNorm: normalize only, no learned scale/offset
         mean = jnp.mean(y, axis=(1, 2), keepdims=True)
         var = jnp.mean(jnp.square(y - mean), axis=(1, 2), keepdims=True)
         y = (y - mean) / jnp.sqrt(var + 1e-5)
         y = leaky_relu(y, 0.2)
-        y = TorchConv(self.width, 4, stride=2, padding=1, name="conv2")(y)
+        y = TorchConv(self.width, 4, stride=2, padding=1, name="conv2",
+                      init_gain=g)(y)
         return y

@@ -33,6 +33,7 @@ class UnetSkipBlock(nn.Module):
     outermost: bool = False
     innermost: bool = False
     use_dropout: bool = False
+    init_gain: float = 0.02
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
@@ -42,7 +43,8 @@ class UnetSkipBlock(nn.Module):
         y = x
         if not self.outermost:
             y = leaky_relu(y, 0.2)
-        y = TorchConv(self.inner_nc, 4, stride=2, padding=1, name="down_conv")(y)
+        y = TorchConv(self.inner_nc, 4, stride=2, padding=1, name="down_conv",
+                      init_gain=self.init_gain)(y)
         if not (self.outermost or self.innermost):
             y = InstanceNorm(name="down_norm")(y)
 
@@ -53,7 +55,7 @@ class UnetSkipBlock(nn.Module):
         # ---- up ----
         y = nn.relu(y)
         y = TorchConvTranspose(self.outer_nc, 4, stride=2, padding=1,
-                               name="up_conv")(y)
+                               name="up_conv", init_gain=self.init_gain)(y)
         if self.outermost:
             return jnp.tanh(y)
         y = InstanceNorm(name="up_norm")(y)
@@ -72,19 +74,20 @@ class UnetGenerator(nn.Module):
     num_downs: int = 8
     ngf: int = 64
     use_dropout: bool = False
+    init_gain: float = 0.02
 
     def setup(self):
-        ngf = self.ngf
-        block = UnetSkipBlock(ngf * 8, ngf * 8, innermost=True)
+        ngf, g = self.ngf, self.init_gain
+        block = UnetSkipBlock(ngf * 8, ngf * 8, innermost=True, init_gain=g)
         for _ in range(self.num_downs - 5):
             block = UnetSkipBlock(ngf * 8, ngf * 8, submodule=block,
-                                  use_dropout=self.use_dropout)
-        block = UnetSkipBlock(ngf * 4, ngf * 8, submodule=block)
-        block = UnetSkipBlock(ngf * 2, ngf * 4, submodule=block)
-        block = UnetSkipBlock(ngf, ngf * 2, submodule=block)
+                                  use_dropout=self.use_dropout, init_gain=g)
+        block = UnetSkipBlock(ngf * 4, ngf * 8, submodule=block, init_gain=g)
+        block = UnetSkipBlock(ngf * 2, ngf * 4, submodule=block, init_gain=g)
+        block = UnetSkipBlock(ngf, ngf * 2, submodule=block, init_gain=g)
         self.model = UnetSkipBlock(self.output_nc, ngf,
                                    input_nc=self.input_nc, submodule=block,
-                                   outermost=True)
+                                   outermost=True, init_gain=g)
 
     def __call__(self, x, *, train: bool = False):
         """x: [B, H, W, input_nc] in [-1, 1] -> [B, H, W, output_nc]."""

@@ -54,6 +54,7 @@ class UnetBlock3(nn.Module):
     triple_weight: float = 1.0
     truncate_backward: bool = True
     attention_impl: str = "lax"
+    init_gain: float = 0.02
 
     @nn.compact
     def __call__(self, x, aux: Dict[str, Any], *, train: bool = False
@@ -67,16 +68,17 @@ class UnetBlock3(nn.Module):
         # ---- down ----
         if self.outermost:
             y = TorchConv(self.inner_nc, 3, stride=1, padding=1,
-                          name="down_conv3")(x)
+                          name="down_conv3", init_gain=self.init_gain)(x)
         else:
             y = leaky_relu(x, 0.2)
             y = TorchConv(input_nc, 4, stride=2, padding=3, dilation=2,
-                          name="down_dilconv")(y)
+                          name="down_dilconv", init_gain=self.init_gain)(y)
             if not self.innermost:
                 y = InstanceNorm(name="down_norm")(y)
                 y = leaky_relu(y, 0.2)
                 y = TorchConv(self.inner_nc, 3, stride=1, padding=1,
-                              name="down_conv3")(y)
+                              name="down_conv3",
+                              init_gain=self.init_gain)(y)
                 if self.with_attention:
                     # IPSR shift attention on the 512-ch feature
                     # (networks.py:347: [..., conv3, ipsr, innerCos, IN]).
@@ -96,12 +98,14 @@ class UnetBlock3(nn.Module):
         if self.outermost:
             y = nn.relu(y)
             y = TorchConvTranspose(self.outer_nc, 3, stride=1, padding=1,
-                                   name="up_conv3")(y)
+                                   name="up_conv3",
+                                   init_gain=self.init_gain)(y)
             return y, taps
         if self.innermost:
             y = nn.relu(y)
             y = TorchConvTranspose(self.outer_nc, 4, stride=2, padding=1,
-                                   name="up_conv")(y)
+                                   name="up_conv",
+                                   init_gain=self.init_gain)(y)
             y = InstanceNorm(name="up_norm")(y)
         else:
             if self.with_attention:
@@ -110,11 +114,13 @@ class UnetBlock3(nn.Module):
                 taps["inner_cos2"] = y[..., :self.inner_nc]
             y = nn.relu(y)
             y = TorchConvTranspose(self.outer_nc, 3, stride=1, padding=1,
-                                   name="up_conv3")(y)
+                                   name="up_conv3",
+                                   init_gain=self.init_gain)(y)
             y = InstanceNorm(name="up_norm3")(y)
             y = nn.relu(y)
             y = TorchConvTranspose(self.outer_nc, 4, stride=2, padding=1,
-                                   name="up_conv")(y)
+                                   name="up_conv",
+                                   init_gain=self.init_gain)(y)
             y = InstanceNorm(name="up_norm")(y)
         if self.use_dropout:
             y = nn.Dropout(0.5, deterministic=not train)(y)
@@ -138,24 +144,25 @@ class UnetGeneratorIPSR(nn.Module):
     triple_weight: float = 1.0
     truncate_backward: bool = True
     attention_impl: str = "lax"
+    init_gain: float = 0.02
 
     def setup(self):
-        ngf = self.ngf
-        block = UnetBlock3(ngf * 8, ngf * 8, innermost=True)
+        ngf, g = self.ngf, self.init_gain
+        block = UnetBlock3(ngf * 8, ngf * 8, innermost=True, init_gain=g)
         for _ in range(self.num_downs - 5):
             block = UnetBlock3(ngf * 8, ngf * 8, submodule=block,
-                               use_dropout=self.use_dropout)
+                               use_dropout=self.use_dropout, init_gain=g)
         block = UnetBlock3(ngf * 8, ngf * 8, submodule=block,
-                           use_dropout=self.use_dropout)
+                           use_dropout=self.use_dropout, init_gain=g)
         block = UnetBlock3(ngf * 4, ngf * 8, submodule=block,
                            with_attention=True,
                            triple_weight=self.triple_weight,
                            truncate_backward=self.truncate_backward,
-                           attention_impl=self.attention_impl)
-        block = UnetBlock3(ngf * 2, ngf * 4, submodule=block)
-        block = UnetBlock3(ngf, ngf * 2, submodule=block)
+                           attention_impl=self.attention_impl, init_gain=g)
+        block = UnetBlock3(ngf * 2, ngf * 4, submodule=block, init_gain=g)
+        block = UnetBlock3(ngf, ngf * 2, submodule=block, init_gain=g)
         self.model = UnetBlock3(self.output_nc, ngf, input_nc=self.input_nc,
-                                submodule=block, outermost=True)
+                                submodule=block, outermost=True, init_gain=g)
 
     def __call__(self, x, ref_feat, flag, *, train: bool = False):
         """x: [B,H,W,6] (coarse composite ++ masked input); ref_feat:

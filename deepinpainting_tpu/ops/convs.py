@@ -41,12 +41,16 @@ def normal_init(gain: float = 0.02):
 def conv2d(x: jnp.ndarray, kernel: jnp.ndarray, bias: Optional[jnp.ndarray],
            stride: int = 1, padding: int = 0, dilation: int = 1) -> jnp.ndarray:
     """PyTorch-geometry Conv2d.  x: [N,H,W,Cin], kernel: [kh,kw,Cin,Cout]."""
-    # bf16 operands accumulate in f32 on the MXU natively and round once at
-    # the output — numerically identical to preferred_element_type=f32
-    # followed by the downcast below, but unlike it, differentiable: an
-    # explicit f32 preferred breaks jax's conv transpose_rhs (the kernel-
-    # gradient conv is built with bf16 lhs x f32 cotangent and rejects the
-    # mixed dtypes), which made every bf16 TRAINING step fail.
+    # bf16 operands accumulate in f32 on the TPU MXU natively and round once
+    # at the output — there, numerically identical to
+    # preferred_element_type=f32 followed by the downcast below, but unlike
+    # it, differentiable: an explicit f32 preferred breaks jax's conv
+    # transpose_rhs (the kernel-gradient conv is built with bf16 lhs x f32
+    # cotangent and rejects the mixed dtypes), which made every bf16
+    # TRAINING step fail.  NOTE this guarantee is TPU-specific: on other
+    # backends (CPU tests, pallas interpret) bf16 convs may accumulate at
+    # lower precision.  All parity/quality paths run f32 (cfg.dtype default),
+    # so bf16-on-CPU only arises in explicitly-bf16 experiments.
     y = lax.conv_general_dilated(
         x, kernel,
         window_strides=(stride, stride),

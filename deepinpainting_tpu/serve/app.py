@@ -77,15 +77,24 @@ class InferenceSession:
         self._lock = threading.Lock()  # wsgiref may thread; device calls serialize
 
     def warmup(self) -> None:
+        # uint8, matching run_bytes' transport, so the first real request
+        # hits the already-compiled jit signature
         s = self.cfg.fine_size
-        z = np.zeros((1, s, s, 3), np.float32)
-        m = np.zeros((1, s, s), np.float32)
+        z = np.zeros((1, s, s, 3), np.uint8)
+        m = np.zeros((1, s, s), np.uint8)
         self.run(z, m, z)
 
     def run(self, image: np.ndarray, mask: np.ndarray, ref: np.ndarray
             ) -> Tuple[np.ndarray, np.ndarray]:
-        """image/ref: [1,H,W,3] in [-1,1]; mask: [1,H,W] in {0,1}."""
+        """image/ref: [1,H,W,3] uint8 (or [-1,1] f32); mask: [1,H,W] uint8
+        0/1 (or f32).  uint8 is normalized on device (normalize_image),
+        quartering the per-request host->device upload."""
         with self._lock:
+            # numpy args go straight to the jit call: argument transfers
+            # ride the ONE execute dispatch.  (An explicit device_put first
+            # was measured SLOWER over the remote-TPU tunnel — it adds its
+            # own blocking round trip: p50 156 ms direct vs 303 ms with the
+            # extra device_put, scripts/serve_bench.py.)
             fake_B, fake_P = self._infer(
                 self.state.params_G, self.state.params_P, self.state.vgg,
                 image, mask, ref)
@@ -104,12 +113,11 @@ class InferenceSession:
                 raise ValueError(f"could not decode {what}: {e}") from e
 
         def dec_img(b, what):
-            return (np.asarray(dec(b, what), np.float32) / 127.5 - 1.0)[None]
+            return np.asarray(dec(b, what), np.uint8)[None]
 
         def dec_mask(b):
-            return (np.asarray(dec(b, "binaryMask"),
-                               np.float32)[..., 0] > 0).astype(
-                np.float32)[None]
+            return (np.asarray(dec(b, "binaryMask"), np.uint8)[..., 0]
+                    > 0).astype(np.uint8)[None]
 
         fake_B, _ = self.run(dec_img(src, "srcImage"), dec_mask(mask),
                              dec_img(ref, "refImage"))

@@ -122,3 +122,27 @@ def test_static_traversal_blocked(app):
 def test_unknown_route_404(app):
     status, _, _ = wsgi_call(app, "GET", "/nope")
     assert status == "404 Not Found"
+
+
+def test_request_latency_measured(app, capsys):
+    """Request-level p50: time N POST /getImage round trips through the
+    WSGI app (decode -> host->device -> infer -> jpg encode).  On CPU this
+    is a harness check that the measurement path works; the TPU number is
+    recorded by scripts/serve_bench.py (BENCH_NOTES.md 'serving request
+    p50').  The reference's per-request path rebuilds a DataLoader and
+    round-trips three upload dirs on disk (app.py:101-140) — ours must
+    stay comfortably under a second even on CPU."""
+    import time
+    body, ctype = multipart_body({
+        "srcImage": img_bytes(2), "binaryMask": mask_bytes(),
+        "refImage": img_bytes(3)})
+    wsgi_call(app, "POST", "/getImage", body, ctype)  # warm the jit
+    times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        status, _, _ = wsgi_call(app, "POST", "/getImage", body, ctype)
+        times.append(time.perf_counter() - t0)
+        assert status == "302 Found"
+    p50 = sorted(times)[len(times) // 2]
+    print(f"[serve] request p50 {p50 * 1000:.1f} ms over {len(times)} reqs")
+    assert p50 < 5.0  # sanity bound; tiny CPU config is ~tens of ms
