@@ -110,9 +110,13 @@ def _scan_out_only_compacted(P: jnp.ndarray, Pn: jnp.ndarray,
     Only masked positions advance the recurrence, so the sequential loop
     runs with a *dynamic* trip count m = number of masked positions (the
     latency floor scales with the hole size, not the grid size); unmasked
-    outputs are the best-match patches, produced vectorized.  Kept as an
-    alternative: measured SLOWER than the dense scan on v5e at b8
-    (see _scan_out_only) — may win for very small holes on large grids.
+    outputs are the best-match patches, produced vectorized.  Kept only as
+    a correctness-tested alternative formulation: measured SLOWER than the
+    dense scan on v5e at b8 everywhere, INCLUDING its hypothesized
+    best-case regime — at N=4096 (512px grid) with a 3.7% hole it is
+    ~3.7x slower (32.0 vs 8.5 ms/iter, BENCH_NOTES.md round 3): the
+    argsort/gather/scatter and the while-lowered dynamic trip count cost
+    more than every skipped step.  Do not wire into the production path.
     """
     n, c = P.shape
     known = jnp.take(P, ind, axis=0)
