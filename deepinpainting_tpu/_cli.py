@@ -110,7 +110,14 @@ def evaluate(argv=None):
 
 
 def serve(argv=None):
-    from wsgiref.simple_server import make_server
+    from socketserver import ThreadingMixIn
+    from wsgiref.simple_server import WSGIServer, make_server
+
+    class ThreadingWSGIServer(ThreadingMixIn, WSGIServer):
+        """Concurrent request handling — required for --max_batch > 1 to
+        actually coalesce (wsgiref's default server is serial)."""
+        daemon_threads = True
+
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--checkpoints_dir", default="checkpoints")
     ap.add_argument("--name", default="IPSR_inpainting")
@@ -122,6 +129,11 @@ def serve(argv=None):
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=5000)
     ap.add_argument("--static_dir", default="")
+    ap.add_argument("--max_batch", type=int, default=1,
+                    help="coalesce up to N concurrent requests into one "
+                         "device call (serve/batcher.py); 1 disables")
+    ap.add_argument("--batch_wait_ms", type=float, default=2.0,
+                    help="max straggler wait when coalescing")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args(argv)
 
@@ -143,8 +155,13 @@ def serve(argv=None):
     if epoch is None and not args.random_weights:
         epoch = 46  # reference default, app.py:53
     print("compiling inference...", flush=True)
-    app = make_app(cfg, epoch, args.static_dir or None)
-    print(f"serving on http://{args.host}:{args.port}", flush=True)
-    make_server(args.host, args.port, app).serve_forever()
+    app = make_app(cfg, epoch, args.static_dir or None,
+                   max_batch=args.max_batch,
+                   batch_wait_ms=args.batch_wait_ms)
+    print(f"serving on http://{args.host}:{args.port}"
+          + (f" (coalescing up to {args.max_batch} requests)"
+             if args.max_batch > 1 else ""), flush=True)
+    make_server(args.host, args.port, app,
+                server_class=ThreadingWSGIServer).serve_forever()
 
 

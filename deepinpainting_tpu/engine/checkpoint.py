@@ -24,12 +24,19 @@ from ..config import Config
 
 class CheckpointManager:
     def __init__(self, cfg: Config, directory: Optional[str] = None,
-                 max_to_keep: Optional[int] = None):
+                 max_to_keep: Optional[int] = None,
+                 async_save: bool = False):
         # {checkpoints_dir}/{name} layout, like base_model.py:12-16.
         directory = directory or os.path.join(cfg.checkpoints_dir, cfg.name)
         self.directory = os.path.abspath(directory)
         os.makedirs(self.directory, exist_ok=True)
         cfg.save(os.path.join(self.directory, "config.json"))
+        # async_save: orbax's save copies device->host synchronously (so
+        # later donated-buffer reuse by the next train step is safe) and
+        # only the serialization/disk write proceeds in the background;
+        # save() then overlaps with the trainer's validation pass.  Reads
+        # and close() synchronize first.
+        self.async_save = async_save
         self._mgr = ocp.CheckpointManager(
             self.directory,
             options=ocp.CheckpointManagerOptions(
@@ -39,11 +46,16 @@ class CheckpointManager:
     def save(self, epoch: int, state: Any) -> None:
         """model.save(epoch) parity (models/IPSR.py:300-304), all nets."""
         self._mgr.save(epoch, args=ocp.args.StandardSave(state))
+        if not self.async_save:
+            self._mgr.wait_until_finished()
+
+    def wait(self) -> None:
         self._mgr.wait_until_finished()
 
     def restore(self, epoch: int, state_template: Any) -> Any:
         """Restore the full TrainState; template supplies pytree structure,
         shapes and shardings (pass a freshly-initialized state)."""
+        self._mgr.wait_until_finished()  # an in-flight save may be this epoch
         if epoch not in self._mgr.all_steps():
             raise FileNotFoundError(
                 f"no checkpoint for epoch {epoch} under {self.directory}; "
@@ -54,12 +66,15 @@ class CheckpointManager:
                                  args=ocp.args.StandardRestore(abstract))
 
     def latest_epoch(self) -> Optional[int]:
+        self._mgr.wait_until_finished()
         return self._mgr.latest_step()
 
     def all_epochs(self):
+        self._mgr.wait_until_finished()
         return sorted(self._mgr.all_steps())
 
     def close(self) -> None:
+        self._mgr.wait_until_finished()
         self._mgr.close()
 
 

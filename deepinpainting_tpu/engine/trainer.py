@@ -15,6 +15,7 @@ orbax checkpoints of the full state, optional jax.profiler tracing.
 from __future__ import annotations
 
 import os
+import time
 from typing import Optional
 
 import jax
@@ -44,7 +45,9 @@ class Trainer:
             axis=cfg.data_axis)
         self.train_step = pmesh.make_dp_train_step(cfg, self.mesh)
         self.eval_step = pmesh.make_dp_eval_step(cfg, self.mesh)
-        self.ckpt = CheckpointManager(cfg)
+        # async: the per-epoch save's disk write overlaps the validation
+        # pass (reads/close synchronize first — engine/checkpoint.py)
+        self.ckpt = CheckpointManager(cfg, async_save=True)
         self.logger = MetricsLogger(self.out_dir)
         self.early = EarlyStopping(cfg.early_stop_patience)
         self.plateau = (PlateauScheduler(cfg.lr)
@@ -72,10 +75,11 @@ class Trainer:
         def flush():
             # One blocking device round trip (~32 ms over a tunnel) per
             # `metrics_every` steps instead of per step; every step still
-            # gets its own CSV row, and the NaN guard checks the whole
-            # fetched window (halt is at most `every-1` steps late).
-            fetched = jax.device_get([m for _, m in window])
-            for (step_n, _), m in zip(window, fetched):
+            # gets its own CSV row (with its true dispatch wall time), and
+            # the NaN guard checks the whole fetched window (halt is at
+            # most `every-1` steps late).
+            fetched = jax.device_get([m for _, _, m in window])
+            for (step_n, t_step, _), m in zip(window, fetched):
                 m = {k: float(v) for k, v in m.items()}
                 losses.append(m["loss"])
                 if cfg.debug_nan and not np.isfinite(m["loss"]):
@@ -83,14 +87,14 @@ class Trainer:
                     # at the offending step, not train on garbage.
                     raise FloatingPointError(
                         f"non-finite loss at step {step_n}: {m}")
-                self.logger.log_step(step_n, m)
+                self.logger.log_step(step_n, m, when=t_step)
             window.clear()
 
         for batch in device_batches(iter(it), self.mesh, cfg.data_axis):
             rng, sub = jax.random.split(rng)
             state, metrics = self.train_step(state, batch, sub)
             total_steps += cfg.batch_size
-            window.append((total_steps, metrics))
+            window.append((total_steps, time.time(), metrics))
             if len(window) >= every:
                 flush()
             if cfg.display_freq and total_steps % cfg.display_freq == 0:

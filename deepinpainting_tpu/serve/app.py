@@ -35,7 +35,7 @@ import jax
 from ..config import Config
 from ..engine import create_state, make_inference_fn
 from ..engine.checkpoint import CheckpointManager
-from ..utils import imaging
+
 
 _TEMPLATE_DIR = os.path.join(os.path.dirname(__file__), "templates")
 
@@ -63,7 +63,7 @@ class InferenceSession:
     """
 
     def __init__(self, cfg: Config, which_epoch: Optional[int] = None, *,
-                 state=None):
+                 state=None, max_batch: int = 1, batch_wait_ms: float = 2.0):
         self.cfg = cfg.replace(is_train=False, mask_type="random",
                                batch_size=1)
         if state is None:
@@ -73,8 +73,35 @@ class InferenceSession:
                 state = mgr.restore(which_epoch, state)
                 mgr.close()
         self.state = state
-        self._infer = jax.jit(make_inference_fn(self.cfg))
+        infer = make_inference_fn(self.cfg)
+
+        def _infer_u8(pG, pP, vgg, gt, mask, ref):
+            fake_B, _ = infer(pG, pP, vgg, gt, mask, ref)
+            # device-side tensor2im (util/util.py:15-20 math; floor matches
+            # numpy's truncating astype): the serving result travels
+            # device->host as 1 byte/px instead of 4 — over a remote
+            # tunnel the fetch is the request critical path — and the jpg
+            # encoder wants uint8 anyway.
+            import jax.numpy as jnp
+            return jnp.floor(jnp.clip((fake_B + 1.0) * 127.5,
+                                      0.0, 255.0)).astype(jnp.uint8)
+
+        self._infer = jax.jit(_infer_u8)
         self._lock = threading.Lock()  # wsgiref may thread; device calls serialize
+        # max_batch > 1: coalesce concurrent requests into one device call
+        # (serve/batcher.py) — b1 is ~2.5 ms/img on-device but b8 is
+        # ~1.2 ms/img, so batching ~2x's loaded serving throughput.
+        self._batcher = None
+        if max_batch > 1:
+            from .batcher import MicroBatcher
+
+            def batched(stacked):
+                u8 = self._infer(
+                    self.state.params_G, self.state.params_P, self.state.vgg,
+                    stacked["image"], stacked["mask"], stacked["ref"])
+                return np.asarray(u8)
+
+            self._batcher = MicroBatcher(batched, max_batch, batch_wait_ms)
 
     def warmup(self) -> None:
         # uint8, matching run_bytes' transport, so the first real request
@@ -85,20 +112,25 @@ class InferenceSession:
         self.run(z, m, z)
 
     def run(self, image: np.ndarray, mask: np.ndarray, ref: np.ndarray
-            ) -> Tuple[np.ndarray, np.ndarray]:
+            ) -> np.ndarray:
         """image/ref: [1,H,W,3] uint8 (or [-1,1] f32); mask: [1,H,W] uint8
-        0/1 (or f32).  uint8 is normalized on device (normalize_image),
-        quartering the per-request host->device upload."""
+        0/1 (or f32).  Returns the inpainted result as uint8 [1,H,W,3]
+        (quantized ON DEVICE — see _infer_u8).  uint8 both directions
+        quarters the per-request tunnel/PCIe traffic."""
+        if self._batcher is not None and image.shape[0] == 1:
+            u8 = self._batcher.submit(
+                {"image": image[0], "mask": mask[0], "ref": ref[0]})
+            return u8[None]
         with self._lock:
             # numpy args go straight to the jit call: argument transfers
             # ride the ONE execute dispatch.  (An explicit device_put first
             # was measured SLOWER over the remote-TPU tunnel — it adds its
             # own blocking round trip: p50 156 ms direct vs 303 ms with the
             # extra device_put, scripts/serve_bench.py.)
-            fake_B, fake_P = self._infer(
+            u8 = self._infer(
                 self.state.params_G, self.state.params_P, self.state.vgg,
                 image, mask, ref)
-        return np.asarray(fake_B), np.asarray(fake_P)
+        return np.asarray(u8)
 
     def run_bytes(self, src: bytes, mask: bytes, ref: bytes) -> np.ndarray:
         """Decode uploaded bytes (the app.py:126-149 transform chain:
@@ -119,9 +151,9 @@ class InferenceSession:
             return (np.asarray(dec(b, "binaryMask"), np.uint8)[..., 0]
                     > 0).astype(np.uint8)[None]
 
-        fake_B, _ = self.run(dec_img(src, "srcImage"), dec_mask(mask),
-                             dec_img(ref, "refImage"))
-        return fake_B[0]
+        fake_B = self.run(dec_img(src, "srcImage"), dec_mask(mask),
+                          dec_img(ref, "refImage"))
+        return fake_B[0]  # uint8 [H,W,3]
 
 
 class InpaintApp:
@@ -173,8 +205,10 @@ class InpaintApp:
         fake_B = self.session.run_bytes(
             fields["srcImage"], fields["binaryMask"], fields["refImage"])
         # app.py:160-161: save (fake_B+1)/2 as static/img/test.jpg
-        imaging.save_image(fake_B,
-                           os.path.join(self.static_dir, "img", "test.jpg"))
+        # (fake_B is already device-quantized uint8 == tensor2im output)
+        out_path = os.path.join(self.static_dir, "img", "test.jpg")
+        os.makedirs(os.path.dirname(out_path), exist_ok=True)
+        Image.fromarray(fake_B).save(out_path)
         return self._redirect(start_response, "/result")
 
     def _static(self, start_response, rel: str):
@@ -213,8 +247,11 @@ class InpaintApp:
 
 def make_app(cfg: Config, which_epoch: Optional[int] = None,
              static_dir: Optional[str] = None, *, state=None,
-             warmup: bool = True) -> InpaintApp:
-    session = InferenceSession(cfg, which_epoch, state=state)
+             warmup: bool = True, max_batch: int = 1,
+             batch_wait_ms: float = 2.0) -> InpaintApp:
+    session = InferenceSession(cfg, which_epoch, state=state,
+                               max_batch=max_batch,
+                               batch_wait_ms=batch_wait_ms)
     if warmup:
         session.warmup()
     return InpaintApp(session, static_dir or os.path.join(

@@ -106,8 +106,13 @@ class MetricsLogger:
         self.epoch_train: List[float] = []
         self.epoch_valid: List[float] = []
 
-    def log_step(self, step: int, metrics: Dict[str, float]) -> None:
-        row = {"step": step, "time": time.time()}
+    def log_step(self, step: int, metrics: Dict[str, float],
+                 when: Optional[float] = None) -> None:
+        """`when` lets a caller that buffers metrics (the trainer's
+        windowed fetch) record the step's true wall time instead of the
+        flush time."""
+        row = {"step": step, "time": when if when is not None else
+               time.time()}
         row.update({k: float(v) for k, v in metrics.items()})
         if self._writer is None:
             self._fields = list(row)

@@ -55,6 +55,12 @@ def main():
     ap.add_argument("--vgg_width_scale", type=float, default=1.0)
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--requests", type=int, default=20)
+    ap.add_argument("--concurrency", type=int, default=1,
+                    help="POST from N threads at once (pair with "
+                         "--max_batch to measure request coalescing)")
+    ap.add_argument("--max_batch", type=int, default=1,
+                    help="serve-side request coalescing (serve/batcher.py)")
+    ap.add_argument("--batch_wait_ms", type=float, default=5.0)
     args = ap.parse_args()
 
     if args.cpu:
@@ -70,7 +76,9 @@ def main():
     cfg = Config(fine_size=args.fine_size, ngf=args.ngf, ndf=args.ndf,
                  vgg_width_scale=args.vgg_width_scale, dtype=args.dtype,
                  mask_type="random", is_train=False)
-    app = make_app(cfg, None, "/tmp/serve_bench_static", warmup=True)
+    app = make_app(cfg, None, "/tmp/serve_bench_static", warmup=True,
+                   max_batch=args.max_batch,
+                   batch_wait_ms=args.batch_wait_ms)
 
     s = args.fine_size
     rng = np.random.default_rng(0)
@@ -91,17 +99,46 @@ def main():
 
     assert wsgi_post(app, "/getImage", body, ctype) == "302 Found"  # warm
     times = []
-    for _ in range(args.requests):
+    t_lock = __import__("threading").Lock()
+
+    def one_request():
         t0 = time.perf_counter()
         status = wsgi_post(app, "/getImage", body, ctype)
-        times.append(time.perf_counter() - t0)
+        dt = time.perf_counter() - t0
         assert status == "302 Found", status
+        with t_lock:
+            times.append(dt)
+
+    t_start = time.perf_counter()
+    if args.concurrency <= 1:
+        for _ in range(args.requests):
+            one_request()
+    else:
+        import threading
+        pending = args.requests
+        while pending > 0:
+            wave = min(args.concurrency, pending)
+            threads = [threading.Thread(target=one_request)
+                       for _ in range(wave)]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join()
+            pending -= wave
+    wall = time.perf_counter() - t_start
     times.sort()
     p50 = times[len(times) // 2] * 1000
     p90 = times[int(len(times) * 0.9)] * 1000
-    print(f"serve request latency over {args.requests} requests @ "
-          f"{s}px: p50 {p50:.1f} ms, p90 {p90:.1f} ms "
+    rps = args.requests / wall
+    print(f"serve @ {s}px: {args.requests} requests, concurrency "
+          f"{args.concurrency}, max_batch {args.max_batch} -> "
+          f"{rps:.1f} req/s, p50 {p50:.1f} ms, p90 {p90:.1f} ms "
           f"(min {times[0] * 1000:.1f}, max {times[-1] * 1000:.1f})")
+    if args.max_batch > 1:
+        mb = app.session._batcher
+        print(f"  coalescing: {mb.items_served} items in {mb.batches_run} "
+              f"device calls ({mb.items_served / max(1, mb.batches_run):.1f} "
+              f"items/call)")
 
 
 if __name__ == "__main__":

@@ -252,3 +252,19 @@ def test_uint8_transport_bit_identical(data_dirs):
     for k in ("image", "mask", "ref"):
         assert n8[k].dtype == np.float32
         np.testing.assert_array_equal(n8[k], nf[k])
+
+
+def test_async_checkpoint_save_then_immediate_restore(tmp_path):
+    """async_save=True (the Trainer's mode): reads synchronize with the
+    in-flight background write, so save -> immediate restore is exact."""
+    state = create_state(TINY, jax.random.PRNGKey(0))
+    cfg = TINY.replace(checkpoints_dir=str(tmp_path))
+    mgr = CheckpointManager(cfg, async_save=True)
+    mgr.save(1, state)
+    fresh = create_state(TINY, jax.random.PRNGKey(3))
+    restored = mgr.restore(1, fresh)
+    for a, b in zip(jax.tree_util.tree_leaves(restored.params_D),
+                    jax.tree_util.tree_leaves(state.params_D)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert mgr.all_epochs() == [1]
+    mgr.close()

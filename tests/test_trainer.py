@@ -110,3 +110,26 @@ def test_evaluator_metrics(data_dirs, tiny_cfg, tmp_path):
     assert res["images"] == 4
     assert np.isfinite(res["psnr"]) and -1 <= res["ssim"] <= 1
     assert len(os.listdir(tmp_path / "grids")) == 4
+
+
+def test_debug_nan_guard_halts_on_windowed_flush(data_dirs, tiny_cfg,
+                                                 tmp_path):
+    """The NaN guard survives the windowed metrics fetch (metrics_every>1):
+    a non-finite loss raises FloatingPointError naming the offending step,
+    at most metrics_every-1 steps late."""
+    import jax.numpy as jnp
+    mesh = pmesh.make_mesh(jax.devices()[:2])
+    cfg = tiny_cfg.replace(debug_nan=True, metrics_every=10,
+                           checkpoints_dir=str(tmp_path))
+    ds = InpaintDataset(data_dirs["img"], data_dirs["mask"],
+                        data_dirs["ref"], S)
+    tr = Trainer(cfg, ds, mesh=mesh)
+    state = tr.init_state()
+
+    def bad_step(state, batch, rng):  # no device work; poisoned metrics
+        return state, {"loss": jnp.asarray(float("nan")),
+                       "D": jnp.asarray(0.0)}
+
+    tr.train_step = bad_step
+    with pytest.raises(FloatingPointError, match="non-finite loss"):
+        tr.train_epoch(state, 1, jax.random.PRNGKey(0), 0)
