@@ -17,6 +17,7 @@ in the batched call propagate to every waiting caller of that batch.
 
 from __future__ import annotations
 
+import os
 import queue
 import threading
 import time
@@ -58,11 +59,15 @@ class MicroBatcher:
         self._worker.start()
 
     # -- caller side ---------------------------------------------------------
-    def submit(self, item: Dict[str, np.ndarray], timeout: float = 900.0):
+    def submit(self, item: Dict[str, np.ndarray],
+               timeout: Optional[float] = None):
         """Block until the item's result is available; raises the batch
         error if the device call failed.  The default timeout accommodates
-        the FIRST call, which carries the jit compile (minutes over a
-        remote-TPU tunnel); steady-state calls return in milliseconds."""
+        the FIRST call, which carries the jit compile (remote-TPU compiles
+        of the batched graph have been observed to take >15 min on a busy
+        compile server); steady-state calls return in milliseconds."""
+        if timeout is None:
+            timeout = float(os.environ.get("DIP_BATCH_TIMEOUT", "1800"))
         if self._closed:
             raise RuntimeError("batcher is closed")
         p = _Pending(item)
