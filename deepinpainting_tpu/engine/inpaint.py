@@ -285,7 +285,10 @@ def make_train_step(cfg: Config):
         (fake_B, fake_P, taps), fwd_vjp = jax.vjp(
             fwd_fn, state.params_G, state.params_P)
         fake_B_const = lax.stop_gradient(fake_B)
-        vgg_fake = apply_vgg16(state.vgg, fake_B_const, cfg.vgg_width_scale)  # IPSR.py:212
+        # IPSR.py:212 — only relu3_3 of the fake image is ever consumed
+        # (netF input), so stop the extractor before the conv4_* block
+        vgg_fake = apply_vgg16(state.vgg, fake_B_const, cfg.vgg_width_scale,
+                               upto=3)
 
         # ---- D / F phase (backward_D, models/IPSR.py:209-231) ----
         def d_loss_fn(params_D, params_F):

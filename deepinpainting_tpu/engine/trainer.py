@@ -54,12 +54,29 @@ class Trainer:
                         if cfg.lr_policy == "plateau" else None)
 
     # -- state ---------------------------------------------------------------
+    def resume_epoch(self) -> Optional[int]:
+        """Epoch to resume from, or None.  `which_epoch="latest"` resolves
+        to the newest on-disk checkpoint — crash recovery without having
+        to know the epoch number (the reference requires an explicit
+        which_epoch, models/IPSR.py:71-77)."""
+        if not (self.cfg.continue_train and self.cfg.which_epoch):
+            return None
+        if self.cfg.which_epoch == "latest":
+            ep = self.ckpt.latest_epoch()
+            if ep is None:
+                raise FileNotFoundError(
+                    f"continue_train with which_epoch=latest but no "
+                    f"checkpoints under {self.ckpt.directory}")
+            return ep
+        return int(self.cfg.which_epoch)
+
     def init_state(self, rng: Optional[jax.Array] = None) -> TrainState:
         rng = rng if rng is not None else jax.random.PRNGKey(self.cfg.seed)
         state = create_state(self.cfg, rng)
-        if self.cfg.continue_train and self.cfg.which_epoch:
+        ep = self.resume_epoch()
+        if ep is not None:
             # resume parity: opt.continue_train/which_epoch (models/IPSR.py:71-77)
-            state = self.ckpt.restore(int(self.cfg.which_epoch), state)
+            state = self.ckpt.restore(ep, state)
         return pmesh.replicate_state(state, self.mesh)
 
     # -- epochs ---------------------------------------------------------------
@@ -127,11 +144,11 @@ class Trainer:
     def fit(self, state: Optional[TrainState] = None, *,
             profile_dir: Optional[str] = None) -> TrainState:
         cfg = self.cfg
+        resumed = self.resume_epoch()
         state = state if state is not None else self.init_state()
         rng = jax.random.PRNGKey(cfg.seed + 1)
         total_steps = 0
-        first_epoch = (int(cfg.which_epoch) + 1
-                       if cfg.continue_train and cfg.which_epoch
+        first_epoch = (resumed + 1 if resumed is not None
                        else cfg.epoch_count)
         with trace(profile_dir):
             for epoch in range(first_epoch, cfg.niter + cfg.niter_decay + 1):
@@ -155,4 +172,8 @@ class Trainer:
                 state = set_learning_rate(state, new_lr)
         self.logger.save_loss_plot()
         self.logger.close()
+        # an async epoch save may still be writing — finish before handing
+        # control back (a fresh CheckpointManager scanning the directory
+        # would otherwise miss the newest epoch)
+        self.ckpt.wait()
         return state

@@ -60,14 +60,21 @@ class Vgg16(nn.Module):
 
     width_scale != 1 shrinks every channel count proportionally — used only
     by scaled-down test configs (real weights require width_scale=1).
+    upto < 4 stops after that slice (later entries are None): callers that
+    only need relu3_3 (the netF branch on fake images, models/IPSR.py:212)
+    skip the three conv4_* layers entirely.
     """
     width_scale: float = 1.0
+    upto: int = 4
 
     @nn.compact
     def __call__(self, x) -> VggFeatures:
         feats = []
         y = x
         for si, convs in enumerate(_SLICES):
+            if si >= self.upto:
+                feats.append(None)
+                continue
             for name, c in convs:
                 cout = max(1, int(c * self.width_scale))
                 cin = y.shape[-1]
@@ -107,8 +114,9 @@ def vgg16_params(cfg_vgg_weights: str, rng: jax.Array,
 
 
 def apply_vgg16(params: Dict[str, Any], images: jnp.ndarray,
-                width_scale: float = 1.0) -> VggFeatures:
+                width_scale: float = 1.0, upto: int = 4) -> VggFeatures:
     """images: [B,H,W,3] in [-1,1].  Gradients are blocked through the
-    (frozen) VGG parameters but flow through `images`."""
+    (frozen) VGG parameters but flow through `images`.  upto=3 computes
+    only through relu3_3 (relu4_3 comes back None)."""
     frozen = jax.tree_util.tree_map(lax.stop_gradient, params)
-    return Vgg16(width_scale).apply({"params": frozen}, images)
+    return Vgg16(width_scale, upto).apply({"params": frozen}, images)

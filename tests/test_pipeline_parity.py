@@ -205,7 +205,12 @@ def to_nhwc(t):
 
 @pytest.fixture(scope="module")
 def stacks():
-    """(reference IPSR model, our TrainState with the SAME weights, batch)."""
+    """(reference IPSR model, our TrainState with the SAME weights, batch).
+
+    ORDER CONSTRAINT: the train-step test runs reference
+    optimize_parameters(), which mutates the torch weights in place, so
+    the inference-parity test must run FIRST (pytest's definition order
+    guarantees this within the file; our TrainState is never mutated)."""
     torch.manual_seed(7)
     with torch.no_grad():
         ref_model = _create_reference_model(Opt())

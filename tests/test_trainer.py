@@ -78,6 +78,13 @@ def test_trainer_fit_two_epochs(data_dirs, tiny_cfg):
     tr2 = Trainer(cfg2, train_ds, valid_ds, mesh=mesh)
     state2 = tr2.fit()
     assert int(state2.step) == 6
+    # crash recovery: which_epoch="latest" resolves the newest checkpoint
+    cfg3 = tiny_cfg.replace(continue_train=True, which_epoch="latest",
+                            niter_decay=3)
+    tr3 = Trainer(cfg3, train_ds, valid_ds, mesh=mesh)
+    assert tr3.resume_epoch() == 3
+    state3 = tr3.fit()
+    assert int(state3.step) == 8  # one more epoch (4) from epoch 3
 
 
 def test_evaluator_exact_count_with_ragged_tail(data_dirs, tiny_cfg,
