@@ -134,6 +134,10 @@ def serve(argv=None):
                          "device call (serve/batcher.py); 1 disables")
     ap.add_argument("--batch_wait_ms", type=float, default=2.0,
                     help="max straggler wait when coalescing")
+    ap.add_argument("--sp", action="store_true",
+                    help="spatially partition each request's image over all "
+                         "devices (parallel/spatial.py) — cuts batch-1 "
+                         "latency on multi-chip hosts; no-op on one chip")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args(argv)
 
@@ -157,7 +161,7 @@ def serve(argv=None):
     print("compiling inference...", flush=True)
     app = make_app(cfg, epoch, args.static_dir or None,
                    max_batch=args.max_batch,
-                   batch_wait_ms=args.batch_wait_ms)
+                   batch_wait_ms=args.batch_wait_ms, sp=args.sp)
     print(f"serving on http://{args.host}:{args.port}"
           + (f" (coalescing up to {args.max_batch} requests)"
              if args.max_batch > 1 else ""), flush=True)

@@ -63,7 +63,8 @@ class InferenceSession:
     """
 
     def __init__(self, cfg: Config, which_epoch: Optional[int] = None, *,
-                 state=None, max_batch: int = 1, batch_wait_ms: float = 2.0):
+                 state=None, max_batch: int = 1, batch_wait_ms: float = 2.0,
+                 sp: bool = False):
         self.cfg = cfg.replace(is_train=False, mask_type="random",
                                batch_size=1)
         if state is None:
@@ -86,7 +87,20 @@ class InferenceSession:
             return jnp.floor(jnp.clip((fake_B + 1.0) * 127.5,
                                       0.0, 255.0)).astype(jnp.uint8)
 
-        self._infer = jax.jit(_infer_u8)
+        if sp and len(jax.devices()) > 1:
+            # Spatial partitioning: ONE request's image rows spread over
+            # every chip (parallel/spatial.py) — the batch-1 latency axis
+            # that request coalescing can't touch.  numpy args are placed
+            # per in_shardings by the jit call itself; the uint8 result
+            # gathers on fetch.
+            from .. import parallel as PP
+            mesh = PP.make_sp_mesh()
+            rep, spd = PP.replicated(mesh), PP.spatial_sharding(mesh)
+            self._infer = jax.jit(_infer_u8,
+                                  in_shardings=(rep, rep, rep, spd, spd, spd),
+                                  out_shardings=spd)
+        else:
+            self._infer = jax.jit(_infer_u8)
         self._lock = threading.Lock()  # wsgiref may thread; device calls serialize
         # max_batch > 1: coalesce concurrent requests into one device call
         # (serve/batcher.py) — b1 is ~2.5 ms/img on-device but b8 is
@@ -248,10 +262,10 @@ class InpaintApp:
 def make_app(cfg: Config, which_epoch: Optional[int] = None,
              static_dir: Optional[str] = None, *, state=None,
              warmup: bool = True, max_batch: int = 1,
-             batch_wait_ms: float = 2.0) -> InpaintApp:
+             batch_wait_ms: float = 2.0, sp: bool = False) -> InpaintApp:
     session = InferenceSession(cfg, which_epoch, state=state,
                                max_batch=max_batch,
-                               batch_wait_ms=batch_wait_ms)
+                               batch_wait_ms=batch_wait_ms, sp=sp)
     if warmup:
         session.warmup()
     return InpaintApp(session, static_dir or os.path.join(

@@ -1,4 +1,5 @@
-"""Data-parallel training over the 8-device virtual CPU mesh."""
+"""Data-parallel and spatially-partitioned training over the 8-device
+virtual CPU mesh."""
 
 import numpy as np
 import jax
@@ -7,7 +8,8 @@ import pytest
 
 from deepinpainting_tpu.config import Config
 from deepinpainting_tpu import parallel as PP
-from deepinpainting_tpu.engine import create_state, make_train_step
+from deepinpainting_tpu.engine import (create_state, init_params,
+                                       make_inference_fn, make_train_step)
 
 TINY = Config(fine_size=64, ngf=8, ndf=8, batch_size=8, use_dropout=False,
               vgg_width_scale=1 / 8, mask_type="random")
@@ -52,7 +54,18 @@ def test_process_local_data_path_matches():
                                       np.asarray(via_put[k]))
 
 
-def test_dp_matches_single_device_grad_semantics():
+@pytest.fixture(scope="module")
+def single_ref():
+    """One single-device step on the seed-3 global batch — the ground truth
+    both the DP and the DP x SP steps must reproduce (shared so the jit
+    compiles once for the module)."""
+    single = jax.jit(make_train_step(TINY))
+    s_out, s_metrics = single(create_state(TINY, jax.random.PRNGKey(0)),
+                              batch_of(8, seed=3), jax.random.PRNGKey(7))
+    return s_out, s_metrics
+
+
+def test_dp_matches_single_device_grad_semantics(single_ref):
     # One DP step over 8 devices == the same jitted step on one device with
     # the same global batch (XLA all-reduce == global-batch mean).
     mesh = PP.make_mesh()
@@ -64,9 +77,7 @@ def test_dp_matches_single_device_grad_semantics():
     dp_out, dp_metrics = dp_step(dp_state, PP.shard_batch(batch, mesh),
                                  jax.random.PRNGKey(7))
 
-    single = jax.jit(make_train_step(TINY))
-    s_out, s_metrics = single(create_state(TINY, jax.random.PRNGKey(0)),
-                              batch, jax.random.PRNGKey(7))
+    s_out, s_metrics = single_ref
     np.testing.assert_allclose(float(dp_metrics["G_L1"]),
                                float(s_metrics["G_L1"]), rtol=2e-4)
     # Adam's first update is exactly +/-lr per element, so elements whose
@@ -79,3 +90,74 @@ def test_dp_matches_single_device_grad_semantics():
                         jax.tree_util.tree_leaves(s_out.params_G)])
     agree = np.isclose(a, b, rtol=1e-3, atol=1e-5).mean()
     assert agree > 0.995, f"only {agree:.4%} of params agree"
+
+
+# ---------------------------------------------------------------------------
+# spatial partitioning (parallel/spatial.py)
+# ---------------------------------------------------------------------------
+
+def test_sp_inference_matches_single_device():
+    # Batch-1 inference with the image height sharded over all 8 devices
+    # (XLA SPMD inserts the conv halo exchanges) == the same jitted
+    # inference on one device.  This is the latency path: every chip works
+    # on a 1/8-height slab of the SAME image.
+    mesh = PP.make_sp_mesh()
+    params = init_params(TINY, jax.random.PRNGKey(0))
+    batch = batch_of(1, seed=11)
+    args = (params["G"], params["P"], params["vgg"],
+            batch["image"], batch["mask"], batch["ref"])
+
+    single_B, single_P = jax.jit(make_inference_fn(TINY))(*args)
+
+    sp_infer = PP.make_sp_inference_fn(TINY, mesh)
+    placed = PP.place_spatial({"image": batch["image"], "mask": batch["mask"],
+                               "ref": batch["ref"]}, mesh)
+    sp_B, sp_P = sp_infer(params["G"], params["P"], params["vgg"],
+                          placed["image"], placed["mask"], placed["ref"])
+    assert sp_B.sharding.spec == PP.spatial_sharding(mesh).spec
+    np.testing.assert_allclose(np.asarray(sp_B), np.asarray(single_B),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(sp_P), np.asarray(single_P),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_dp_sp_train_step_matches_single(single_ref):
+    # One step on a 2-D (data=2, sp=4) mesh — batch sharded 2-way AND image
+    # height sharded 4-way — must reproduce the single-device step: the
+    # halo-exchanged conv gradients and the two-axis loss-mean all-reduces
+    # are semantically invisible.  Pre-update scalars (G_L1, D) are tight;
+    # G_GAN is evaluated against the UPDATED discriminator (reference
+    # updated-D ordering, models/IPSR.py:267-278) and Adam's first update
+    # is sign(grad)*lr per element, so halo reduction-order noise flips
+    # near-zero gradient signs and perturbs D discretely — same chaos the
+    # DP test absorbs with a statistical params check (measured ~9% on
+    # G_GAN at this tiny ndf=8 scale).
+    mesh = PP.make_dp_sp_mesh(2, 4)
+    state = PP.replicate_state(create_state(TINY, jax.random.PRNGKey(0)),
+                               mesh)
+    step = PP.make_dp_sp_train_step(TINY, mesh)
+    batch = PP.place_spatial(batch_of(8, seed=3), mesh, data_axis="data")
+    out, metrics = step(state, batch, jax.random.PRNGKey(7))
+
+    s_out, s_metrics = single_ref
+    assert int(out.step) == 1
+    for k in ("G_L1", "D"):
+        np.testing.assert_allclose(float(metrics[k]), float(s_metrics[k]),
+                                   rtol=5e-4, err_msg=k)
+    np.testing.assert_allclose(float(metrics["G_GAN"]),
+                               float(s_metrics["G_GAN"]), rtol=0.2,
+                               err_msg="G_GAN (loose: updated-D + Adam sign)")
+    # Updated params may disagree ONLY in the Adam-sign-flip way: the first
+    # Adam update is +/-lr per element, so any divergence is bounded by 2*lr
+    # (a real math error — wrong loss scale, missing all-reduce — shows up
+    # in the tight scalar checks above, not here).  The flip fraction is
+    # larger than the DP test's (~7% vs ~0.5% measured): SP resharding also
+    # perturbs the attention argmax near-ties at this tiny 8x8 grid,
+    # discretely rerouting patch gradients.
+    a = np.concatenate([np.asarray(x).ravel() for x in
+                        jax.tree_util.tree_leaves(out.params_G)])
+    b = np.concatenate([np.asarray(x).ravel() for x in
+                        jax.tree_util.tree_leaves(s_out.params_G)])
+    assert np.abs(a - b).max() <= 2.2 * TINY.lr, "non-Adam-shaped divergence"
+    agree = np.isclose(a, b, rtol=1e-3, atol=1e-5).mean()
+    assert agree > 0.90, f"only {agree:.4%} of params agree"

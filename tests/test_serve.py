@@ -146,3 +146,28 @@ def test_request_latency_measured(app, capsys):
     p50 = sorted(times)[len(times) // 2]
     print(f"[serve] request p50 {p50 * 1000:.1f} ms over {len(times)} reqs")
     assert p50 < 5.0  # sanity bound; tiny CPU config is ~tens of ms
+
+
+def test_sp_session_matches_default():
+    """--sp serving: the same request answered with the image height
+    sharded over all 8 virtual devices (parallel/spatial.py) must return
+    the default session's uint8 result (halo-exchange reduction reordering
+    may flip a pixel sitting exactly on a floor() quantization boundary —
+    allow |delta| <= 1)."""
+    import jax
+    from deepinpainting_tpu.engine import create_state
+    from deepinpainting_tpu.serve.app import InferenceSession
+
+    state = create_state(TINY.replace(is_train=False, mask_type="random",
+                                      batch_size=1), jax.random.PRNGKey(0))
+    plain = InferenceSession(TINY, None, state=state)
+    spsess = InferenceSession(TINY, None, state=state, sp=True)
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 255, (1, S, S, 3), dtype=np.uint8)
+    ref = rng.integers(0, 255, (1, S, S, 3), dtype=np.uint8)
+    mask = np.zeros((1, S, S), np.uint8)
+    mask[:, 8:24, 8:24] = 1
+    a = plain.run(img, mask, ref)
+    b = spsess.run(img, mask, ref)
+    assert a.shape == b.shape == (1, S, S, 3) and a.dtype == np.uint8
+    assert np.abs(a.astype(np.int16) - b.astype(np.int16)).max() <= 1
