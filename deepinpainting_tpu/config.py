@@ -56,6 +56,10 @@ class Config:
     faithful_backward_truncation: bool = True   # LongTensor-truncated attention rows in bwd
     faithful_detached_cosis: bool = True        # InnerCos losses detached from G grads
     attention_impl: str = "pallas"              # 'pallas' | 'lax' (e2e a wash at 256px, pallas wins isolated + at 512px; interprets on CPU)
+    remat: bool = False            # checkpoint each U-Net level (jax.checkpoint
+    # via nn.remat): backward recomputes level-by-level instead of storing
+    # every activation — trades ~1 extra forward's FLOPs for O(level) instead
+    # of O(network) activation HBM.  The lever for >=512px training batches.
 
     # ---- masks -------------------------------------------------------------
     mask_type: str = "random"      # 'center' | 'random'

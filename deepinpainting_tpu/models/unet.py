@@ -75,19 +75,26 @@ class UnetGenerator(nn.Module):
     ngf: int = 64
     use_dropout: bool = False
     init_gain: float = 0.02
+    remat: bool = False
 
     def setup(self):
         ngf, g = self.ngf, self.init_gain
-        block = UnetSkipBlock(ngf * 8, ngf * 8, innermost=True, init_gain=g)
+        # remat: checkpoint every level — backward recomputes one level at a
+        # time, so activation HBM scales with the largest level instead of
+        # the whole ladder.  Level cost shrinks ~4x per depth (spatial /4,
+        # channels x2), so the nested-recompute overhead is bounded ~2x of
+        # one forward.
+        Block = nn.remat(UnetSkipBlock) if self.remat else UnetSkipBlock
+        block = Block(ngf * 8, ngf * 8, innermost=True, init_gain=g)
         for _ in range(self.num_downs - 5):
-            block = UnetSkipBlock(ngf * 8, ngf * 8, submodule=block,
-                                  use_dropout=self.use_dropout, init_gain=g)
-        block = UnetSkipBlock(ngf * 4, ngf * 8, submodule=block, init_gain=g)
-        block = UnetSkipBlock(ngf * 2, ngf * 4, submodule=block, init_gain=g)
-        block = UnetSkipBlock(ngf, ngf * 2, submodule=block, init_gain=g)
-        self.model = UnetSkipBlock(self.output_nc, ngf,
-                                   input_nc=self.input_nc, submodule=block,
-                                   outermost=True, init_gain=g)
+            block = Block(ngf * 8, ngf * 8, submodule=block,
+                          use_dropout=self.use_dropout, init_gain=g)
+        block = Block(ngf * 4, ngf * 8, submodule=block, init_gain=g)
+        block = Block(ngf * 2, ngf * 4, submodule=block, init_gain=g)
+        block = Block(ngf, ngf * 2, submodule=block, init_gain=g)
+        self.model = Block(self.output_nc, ngf,
+                           input_nc=self.input_nc, submodule=block,
+                           outermost=True, init_gain=g)
 
     def __call__(self, x, *, train: bool = False):
         """x: [B, H, W, input_nc] in [-1, 1] -> [B, H, W, output_nc]."""

@@ -145,24 +145,28 @@ class UnetGeneratorIPSR(nn.Module):
     truncate_backward: bool = True
     attention_impl: str = "lax"
     init_gain: float = 0.02
+    remat: bool = False
 
     def setup(self):
         ngf, g = self.ngf, self.init_gain
-        block = UnetBlock3(ngf * 8, ngf * 8, innermost=True, init_gain=g)
+        # remat: see UnetGenerator.setup — per-level jax.checkpoint bounds
+        # activation HBM to O(largest level) for >=512px training.
+        Block = nn.remat(UnetBlock3) if self.remat else UnetBlock3
+        block = Block(ngf * 8, ngf * 8, innermost=True, init_gain=g)
         for _ in range(self.num_downs - 5):
-            block = UnetBlock3(ngf * 8, ngf * 8, submodule=block,
-                               use_dropout=self.use_dropout, init_gain=g)
-        block = UnetBlock3(ngf * 8, ngf * 8, submodule=block,
-                           use_dropout=self.use_dropout, init_gain=g)
-        block = UnetBlock3(ngf * 4, ngf * 8, submodule=block,
-                           with_attention=True,
-                           triple_weight=self.triple_weight,
-                           truncate_backward=self.truncate_backward,
-                           attention_impl=self.attention_impl, init_gain=g)
-        block = UnetBlock3(ngf * 2, ngf * 4, submodule=block, init_gain=g)
-        block = UnetBlock3(ngf, ngf * 2, submodule=block, init_gain=g)
-        self.model = UnetBlock3(self.output_nc, ngf, input_nc=self.input_nc,
-                                submodule=block, outermost=True, init_gain=g)
+            block = Block(ngf * 8, ngf * 8, submodule=block,
+                          use_dropout=self.use_dropout, init_gain=g)
+        block = Block(ngf * 8, ngf * 8, submodule=block,
+                      use_dropout=self.use_dropout, init_gain=g)
+        block = Block(ngf * 4, ngf * 8, submodule=block,
+                      with_attention=True,
+                      triple_weight=self.triple_weight,
+                      truncate_backward=self.truncate_backward,
+                      attention_impl=self.attention_impl, init_gain=g)
+        block = Block(ngf * 2, ngf * 4, submodule=block, init_gain=g)
+        block = Block(ngf, ngf * 2, submodule=block, init_gain=g)
+        self.model = Block(self.output_nc, ngf, input_nc=self.input_nc,
+                           submodule=block, outermost=True, init_gain=g)
 
     def __call__(self, x, ref_feat, flag, *, train: bool = False):
         """x: [B,H,W,6] (coarse composite ++ masked input); ref_feat:
