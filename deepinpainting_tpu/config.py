@@ -58,8 +58,9 @@ class Config:
     attention_impl: str = "pallas"              # 'pallas' | 'lax' (e2e a wash at 256px, pallas wins isolated + at 512px; interprets on CPU)
     remat: bool = False            # checkpoint each U-Net level (jax.checkpoint
     # via nn.remat): backward recomputes level-by-level instead of storing
-    # every activation — trades ~1 extra forward's FLOPs for O(level) instead
-    # of O(network) activation HBM.  The lever for >=512px training batches.
+    # every activation.  Measured: -40% activation HBM at 512px for ~2.5x
+    # step wall (BENCH_NOTES.md) — the headroom knob when activations must
+    # share HBM (XLA auto-remats only once a schedule exceeds HBM).
 
     # ---- masks -------------------------------------------------------------
     mask_type: str = "random"      # 'center' | 'random'
@@ -102,6 +103,11 @@ class Config:
     vgg_weights: str = "random"    # 'random' or a path to a converted .npz
     vgg_width_scale: float = 1.0   # <1 only for scaled-down test configs
     data_axis: str = "data"        # mesh axis name for data parallelism
+    sp_devices: int = 1            # spatial-axis size of the training mesh:
+    # 1 = pure DP; >1 builds a 2-D (data x sp) mesh and also shards the image
+    # height over "sp" (parallel/spatial.py) — for when per-chip HBM can't
+    # hold the batch's activations (>=512px).  Must divide the device count
+    # and the image height.
 
     # ------------------------------------------------------------------------
     def replace(self, **kw) -> "Config":

@@ -24,6 +24,7 @@ import numpy as np
 from ..config import Config
 from ..data.iterator import BatchIterator, device_batches
 from ..parallel import mesh as pmesh
+from ..parallel import spatial as pspatial
 from ..utils import imaging
 from ..utils.metrics import MetricsLogger
 from ..utils.profiling import trace
@@ -41,10 +42,28 @@ class Trainer:
         self.valid_dataset = valid_dataset
         self.out_dir = out_dir or os.path.join(cfg.checkpoints_dir, cfg.name)
         os.makedirs(self.out_dir, exist_ok=True)
-        self.mesh = mesh if mesh is not None else pmesh.make_mesh(
-            axis=cfg.data_axis)
-        self.train_step = pmesh.make_dp_train_step(cfg, self.mesh)
-        self.eval_step = pmesh.make_dp_eval_step(cfg, self.mesh)
+        if mesh is not None:
+            self.mesh = mesh
+        elif cfg.sp_devices > 1:
+            # 2-D (data x sp) mesh: batch over data_axis, image height over
+            # "sp" (parallel/spatial.py) — cfg.sp_devices slabs per image.
+            n = len(jax.devices())
+            if n % cfg.sp_devices:
+                raise ValueError(f"sp_devices={cfg.sp_devices} must divide "
+                                 f"the device count ({n})")
+            self.mesh = pspatial.make_dp_sp_mesh(
+                n // cfg.sp_devices, cfg.sp_devices,
+                axes=(cfg.data_axis, "sp"))
+        else:
+            self.mesh = pmesh.make_mesh(axis=cfg.data_axis)
+        if "sp" in self.mesh.axis_names:
+            self.train_step = pspatial.make_dp_sp_train_step(
+                cfg, self.mesh, data_axis=cfg.data_axis)
+            self.eval_step = pspatial.make_dp_sp_eval_step(
+                cfg, self.mesh, data_axis=cfg.data_axis)
+        else:
+            self.train_step = pmesh.make_dp_train_step(cfg, self.mesh)
+            self.eval_step = pmesh.make_dp_eval_step(cfg, self.mesh)
         # async: the per-epoch save's disk write overlaps the validation
         # pass (reads/close synchronize first — engine/checkpoint.py)
         self.ckpt = CheckpointManager(cfg, async_save=True)

@@ -36,7 +36,9 @@ class UnetSkipBlock(nn.Module):
     init_gain: float = 0.02
 
     @nn.compact
-    def __call__(self, x, *, train: bool = False):
+    def __call__(self, x, train: bool = False):
+        # `train` is positional so nn.remat can pin it static
+        # (static_argnums=(2,)); a traced bool breaks Dropout's `not train`.
         input_nc = self.input_nc if self.input_nc is not None else self.outer_nc
 
         # ---- down ----
@@ -50,7 +52,7 @@ class UnetSkipBlock(nn.Module):
 
         # ---- submodule ----
         if self.submodule is not None:
-            y = self.submodule(y, train=train)
+            y = self.submodule(y, train)
 
         # ---- up ----
         y = nn.relu(y)
@@ -84,7 +86,8 @@ class UnetGenerator(nn.Module):
         # the whole ladder.  Level cost shrinks ~4x per depth (spatial /4,
         # channels x2), so the nested-recompute overhead is bounded ~2x of
         # one forward.
-        Block = nn.remat(UnetSkipBlock) if self.remat else UnetSkipBlock
+        Block = (nn.remat(UnetSkipBlock, static_argnums=(2,))  # 2 = train
+                 if self.remat else UnetSkipBlock)
         block = Block(ngf * 8, ngf * 8, innermost=True, init_gain=g)
         for _ in range(self.num_downs - 5):
             block = Block(ngf * 8, ngf * 8, submodule=block,
@@ -98,4 +101,4 @@ class UnetGenerator(nn.Module):
 
     def __call__(self, x, *, train: bool = False):
         """x: [B, H, W, input_nc] in [-1, 1] -> [B, H, W, output_nc]."""
-        return self.model(x, train=train)
+        return self.model(x, train)

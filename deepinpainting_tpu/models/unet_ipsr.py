@@ -57,10 +57,14 @@ class UnetBlock3(nn.Module):
     init_gain: float = 0.02
 
     @nn.compact
-    def __call__(self, x, aux: Dict[str, Any], *, train: bool = False
+    def __call__(self, x, aux: Dict[str, Any], train: bool = False
                  ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
         """aux carries {'ref_feat': [B,h,w,C], 'flag': [B,h*w]} for the
         attention level; returns (output, taps) with the InnerCos features.
+
+        `train` is positional (not keyword-only) so nn.remat can pin it
+        static (static_argnums=(3,)); a traced bool would break Dropout's
+        `not train` under remat.
         """
         input_nc = self.input_nc if self.input_nc is not None else self.outer_nc
         taps: Dict[str, jnp.ndarray] = {}
@@ -91,7 +95,7 @@ class UnetBlock3(nn.Module):
 
         # ---- submodule ----
         if self.submodule is not None:
-            y, sub_taps = self.submodule(y, aux, train=train)
+            y, sub_taps = self.submodule(y, aux, train)
             taps.update(sub_taps)
 
         # ---- up ----
@@ -151,7 +155,8 @@ class UnetGeneratorIPSR(nn.Module):
         ngf, g = self.ngf, self.init_gain
         # remat: see UnetGenerator.setup — per-level jax.checkpoint bounds
         # activation HBM to O(largest level) for >=512px training.
-        Block = nn.remat(UnetBlock3) if self.remat else UnetBlock3
+        Block = (nn.remat(UnetBlock3, static_argnums=(3,))  # 3 = train
+                 if self.remat else UnetBlock3)
         block = Block(ngf * 8, ngf * 8, innermost=True, init_gain=g)
         for _ in range(self.num_downs - 5):
             block = Block(ngf * 8, ngf * 8, submodule=block,
@@ -176,5 +181,4 @@ class UnetGeneratorIPSR(nn.Module):
         Returns (out [B,H,W,3] — linear, no tanh; taps {'inner_cos',
         'inner_cos2'} [B,H/8,W/8,512]).
         """
-        return self.model(x, {"ref_feat": ref_feat, "flag": flag},
-                          train=train)
+        return self.model(x, {"ref_feat": ref_feat, "flag": flag}, train)

@@ -50,6 +50,17 @@ def shard_batch(batch: Dict[str, Any], mesh: Mesh,
     device_put, which produces an identical global array (asserted by
     tests/test_parallel.py::test_process_local_data_path_matches).
     """
+    if "sp" in mesh.axis_names:
+        # 2-D (data x sp) training mesh (parallel/spatial.py): the image
+        # height is sharded too.  Multi-host SP would need each process's
+        # local slab geometry worked out against the mesh layout — not a
+        # supported combination yet.
+        if jax.process_count() > 1:
+            raise NotImplementedError(
+                "multi-host + spatial partitioning is not supported")
+        from .spatial import spatial_sharding
+        return jax.device_put(batch, spatial_sharding(
+            mesh, "sp", axis if axis in mesh.axis_names else None))
     sh = batch_sharding(mesh, axis)
     if jax.process_count() > 1:
         return {k: jax.make_array_from_process_local_data(sh, np.asarray(v))

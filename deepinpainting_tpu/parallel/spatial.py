@@ -112,6 +112,18 @@ def make_dp_sp_train_step(cfg: Config, mesh: Mesh,
     )
 
 
+def make_dp_sp_eval_step(cfg: Config, mesh: Mesh,
+                         data_axis: str = "data", sp_axis: str = "sp"):
+    """Eval step on the 2-D mesh (mirror of mesh.make_dp_eval_step)."""
+    step = E.make_eval_step(cfg)
+    rep = replicated(mesh)
+    bsh = spatial_sharding(mesh, sp_axis, data_axis)
+    return jax.jit(
+        step,
+        in_shardings=(rep, {"image": bsh, "mask": bsh, "ref": bsh}),
+    )
+
+
 def place_spatial(batch: Dict[str, Any], mesh: Mesh, axis: str = "sp",
                   data_axis: Optional[str] = None) -> Dict[str, Any]:
     """One device_put of the whole pytree with H (and optionally B) sharded."""
