@@ -56,11 +56,18 @@ class Config:
     faithful_backward_truncation: bool = True   # LongTensor-truncated attention rows in bwd
     faithful_detached_cosis: bool = True        # InnerCos losses detached from G grads
     attention_impl: str = "pallas"              # 'pallas' | 'lax' (e2e a wash at 256px, pallas wins isolated + at 512px; interprets on CPU)
-    remat: bool = False            # checkpoint each U-Net level (jax.checkpoint
-    # via nn.remat): backward recomputes level-by-level instead of storing
-    # every activation.  Measured: -40% activation HBM at 512px for ~2.5x
-    # step wall (BENCH_NOTES.md) — the headroom knob when activations must
-    # share HBM (XLA auto-remats only once a schedule exceeds HBM).
+    remat: bool = False            # checkpoint U-Net levels (jax.checkpoint
+    # via nn.remat): backward recomputes levels instead of storing their
+    # activations — the headroom knob when activations must share HBM (XLA
+    # auto-remats only once a schedule exceeds HBM).  See remat_depth and
+    # BENCH_NOTES.md for the measured memory/FLOPs tradeoff.
+    remat_depth: int = 1           # how many OUTERMOST levels to checkpoint
+    # (0 = every level).  Activation bytes halve per depth, so the outer
+    # levels hold most of the memory; BUT a checkpointed level's backward
+    # re-runs its whole SUBTREE (the submodule call sits inside the block),
+    # so each checkpointed outer level costs ~1 extra full forward.
+    # Measured 512px b8 f32 (BENCH_NOTES.md): depth 1 -25% temp at 1.52x
+    # step (default: the knee); depth 3 -32% at 2.6x; depth 0 -38% at 3.1x.
 
     # ---- masks -------------------------------------------------------------
     mask_type: str = "random"      # 'center' | 'random'

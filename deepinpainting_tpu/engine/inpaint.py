@@ -100,11 +100,13 @@ def build_models(cfg: Config) -> Models:
                             triple_weight=cfg.triple_weight,
                             truncate_backward=cfg.faithful_backward_truncation,
                             attention_impl=cfg.attention_impl,
-                            init_gain=cfg.init_gain, remat=cfg.remat),
+                            init_gain=cfg.init_gain, remat=cfg.remat,
+                            remat_depth=cfg.remat_depth),
         P=UnetGenerator(input_nc=cfg.input_nc, output_nc=cfg.output_nc,
                         num_downs=num_downs, ngf=cfg.ngf,
                         use_dropout=cfg.use_dropout,
-                        init_gain=cfg.init_gain, remat=cfg.remat),
+                        init_gain=cfg.init_gain, remat=cfg.remat,
+                        remat_depth=cfg.remat_depth),
         D=NLayerDiscriminator(input_nc=cfg.input_nc, ndf=cfg.ndf,
                               use_sigmoid=use_sigmoid,
                               init_gain=cfg.init_gain),

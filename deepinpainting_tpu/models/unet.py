@@ -78,24 +78,34 @@ class UnetGenerator(nn.Module):
     use_dropout: bool = False
     init_gain: float = 0.02
     remat: bool = False
+    remat_depth: int = 3
 
     def setup(self):
         ngf, g = self.ngf, self.init_gain
-        # remat: checkpoint every level — backward recomputes one level at a
-        # time, so activation HBM scales with the largest level instead of
-        # the whole ladder.  Level cost shrinks ~4x per depth (spatial /4,
-        # channels x2), so the nested-recompute overhead is bounded ~2x of
-        # one forward.
-        Block = (nn.remat(UnetSkipBlock, static_argnums=(2,))  # 2 = train
-                 if self.remat else UnetSkipBlock)
-        block = Block(ngf * 8, ngf * 8, innermost=True, init_gain=g)
+        # remat: checkpoint the outer `remat_depth` levels (0 = all) —
+        # backward recomputes them instead of storing their activations.
+        # Activation bytes halve per depth, so the outer levels hold most
+        # of the memory; each checkpointed level's backward re-runs its
+        # whole SUBTREE (the submodule call is inside the block), i.e.
+        # ~1 extra full forward per checkpointed outer level — measured
+        # tradeoffs in BENCH_NOTES.md.
+        n_levels = self.num_downs  # blocks constructed inner -> outer
+        def Block(level_from_outer, *a, **kw):
+            cls = UnetSkipBlock
+            if self.remat and (self.remat_depth == 0
+                               or level_from_outer < self.remat_depth):
+                cls = nn.remat(UnetSkipBlock, static_argnums=(2,))  # train
+            return cls(*a, **kw)
+        i = n_levels - 1
+        block = Block(i, ngf * 8, ngf * 8, innermost=True, init_gain=g)
         for _ in range(self.num_downs - 5):
-            block = Block(ngf * 8, ngf * 8, submodule=block,
+            i -= 1
+            block = Block(i, ngf * 8, ngf * 8, submodule=block,
                           use_dropout=self.use_dropout, init_gain=g)
-        block = Block(ngf * 4, ngf * 8, submodule=block, init_gain=g)
-        block = Block(ngf * 2, ngf * 4, submodule=block, init_gain=g)
-        block = Block(ngf, ngf * 2, submodule=block, init_gain=g)
-        self.model = Block(self.output_nc, ngf,
+        block = Block(3, ngf * 4, ngf * 8, submodule=block, init_gain=g)
+        block = Block(2, ngf * 2, ngf * 4, submodule=block, init_gain=g)
+        block = Block(1, ngf, ngf * 2, submodule=block, init_gain=g)
+        self.model = Block(0, self.output_nc, ngf,
                            input_nc=self.input_nc, submodule=block,
                            outermost=True, init_gain=g)
 

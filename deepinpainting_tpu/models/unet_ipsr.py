@@ -150,27 +150,37 @@ class UnetGeneratorIPSR(nn.Module):
     attention_impl: str = "lax"
     init_gain: float = 0.02
     remat: bool = False
+    remat_depth: int = 3
 
     def setup(self):
         ngf, g = self.ngf, self.init_gain
-        # remat: see UnetGenerator.setup — per-level jax.checkpoint bounds
-        # activation HBM to O(largest level) for >=512px training.
-        Block = (nn.remat(UnetBlock3, static_argnums=(3,))  # 3 = train
-                 if self.remat else UnetBlock3)
-        block = Block(ngf * 8, ngf * 8, innermost=True, init_gain=g)
+        # remat: checkpoint the outer `remat_depth` levels (0 = all) — see
+        # UnetGenerator.setup for the memory/recompute tradeoff.  This
+        # ladder has an extra full-resolution outermost level (no
+        # downsample, networks.py:241-243), so its outer levels hold even
+        # more of the activation bytes than the rough net's.
+        def Block(level_from_outer, *a, **kw):
+            cls = UnetBlock3
+            if self.remat and (self.remat_depth == 0
+                               or level_from_outer < self.remat_depth):
+                cls = nn.remat(UnetBlock3, static_argnums=(3,))  # train
+            return cls(*a, **kw)
+        i = self.num_downs  # blocks constructed inner -> outer; outermost=0
+        block = Block(i, ngf * 8, ngf * 8, innermost=True, init_gain=g)
         for _ in range(self.num_downs - 5):
-            block = Block(ngf * 8, ngf * 8, submodule=block,
+            i -= 1
+            block = Block(i, ngf * 8, ngf * 8, submodule=block,
                           use_dropout=self.use_dropout, init_gain=g)
-        block = Block(ngf * 8, ngf * 8, submodule=block,
+        block = Block(4, ngf * 8, ngf * 8, submodule=block,
                       use_dropout=self.use_dropout, init_gain=g)
-        block = Block(ngf * 4, ngf * 8, submodule=block,
+        block = Block(3, ngf * 4, ngf * 8, submodule=block,
                       with_attention=True,
                       triple_weight=self.triple_weight,
                       truncate_backward=self.truncate_backward,
                       attention_impl=self.attention_impl, init_gain=g)
-        block = Block(ngf * 2, ngf * 4, submodule=block, init_gain=g)
-        block = Block(ngf, ngf * 2, submodule=block, init_gain=g)
-        self.model = Block(self.output_nc, ngf, input_nc=self.input_nc,
+        block = Block(2, ngf * 2, ngf * 4, submodule=block, init_gain=g)
+        block = Block(1, ngf, ngf * 2, submodule=block, init_gain=g)
+        self.model = Block(0, self.output_nc, ngf, input_nc=self.input_nc,
                            submodule=block, outermost=True, init_gain=g)
 
     def __call__(self, x, ref_feat, flag, *, train: bool = False):

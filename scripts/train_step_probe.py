@@ -27,6 +27,8 @@ def main():
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--dtype", default="float32")
     ap.add_argument("--attn", default="pallas")
+    ap.add_argument("--remat", action="store_true")
+    ap.add_argument("--remat_depth", type=int, default=3)
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -40,7 +42,8 @@ def main():
     from deepinpainting_tpu.engine.inpaint import make_train_step
 
     cfg = Config(fine_size=args.size, batch_size=args.batch,
-                 dtype=args.dtype, attention_impl=args.attn)
+                 dtype=args.dtype, attention_impl=args.attn,
+                 remat=args.remat, remat_depth=args.remat_depth)
     state = create_state(cfg, jax.random.PRNGKey(0))
     step = make_train_step(cfg)
     b, s = args.batch, args.size
@@ -83,7 +86,8 @@ def main():
     per.sort()
     med = per[len(per) // 2]
     print(f"[train-probe] b={b} size={s} dtype={args.dtype} "
-          f"attn={args.attn}: {med * 1000:.2f} ms/step = "
+          f"attn={args.attn} remat={args.remat}/{args.remat_depth}: "
+          f"{med * 1000:.2f} ms/step = "
           f"{b / med:.1f} img/s "
           f"(spread {(per[-1] - per[0]) / med * 100:.1f}%)",
           file=sys.stderr, flush=True)
