@@ -100,10 +100,12 @@ def measure_ours(batch_sizes=(32,), size=256, iters=64,
 
     # Inference operating point (BENCH_NOTES.md round 2): bf16 activations
     # with f32 MXU accumulation and the streamed Pallas attention kernels.
-    # Knobs for A/B runs: BENCH_DTYPE=float32, BENCH_ATTN=lax.
+    # Knobs for A/B runs: BENCH_DTYPE=float32, BENCH_ATTN=lax,
+    # BENCH_QUANT=int8 (dynamic-int8 convs, ops/quant.py).
     cfg = Config(fine_size=size, is_train=False, use_dropout=False,
                  dtype=os.environ.get("BENCH_DTYPE", "bfloat16"),
-                 attention_impl=os.environ.get("BENCH_ATTN", "pallas"))
+                 attention_impl=os.environ.get("BENCH_ATTN", "pallas"),
+                 quant=os.environ.get("BENCH_QUANT", "none"))
     params = init_params(cfg, jax.random.PRNGKey(0))
     infer = make_inference_fn(cfg)
     p3 = (params["G"], params["P"], params["vgg"])

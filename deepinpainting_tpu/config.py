@@ -102,6 +102,10 @@ class Config:
 
     # ---- compute -----------------------------------------------------------
     dtype: str = "float32"         # activation compute dtype: 'float32' | 'bfloat16'
+    quant: str = "none"            # 'none' | 'int8': dynamic int8 convs for
+    # INFERENCE paths only (make_inference_fn / make_eval_step /
+    # make_coarse_fn); the MXU runs s8xs8->s32 at 2x the bf16 rate.  Training
+    # rejects it (PTQ, not QAT).  See ops/quant.py.
     debug_nan: bool = False        # halt training on non-finite losses
     metrics_every: int = 10        # fetch step metrics to host every K steps
                                    # (amortizes the blocking device sync;

@@ -82,6 +82,10 @@ def build_models(cfg: Config) -> Models:
         raise NotImplementedError(
             f"initialization method [{cfg.init_type}] is not implemented "
             "(only 'normal' is supported)")
+    if cfg.quant not in ("none", "int8"):
+        raise NotImplementedError(
+            f"quant mode [{cfg.quant}] is not implemented "
+            "(only 'none' and 'int8' are supported; see ops/quant.py)")
     # unet_256 geometry generalized: one skip level per halving down to 1x1,
     # which keeps the attention level at fine_size/8 (networks.py:195 comment
     # notes the same depth rule for 512).
@@ -259,6 +263,11 @@ def make_train_step(cfg: Config):
     models = build_models(cfg)
     tx = make_optimizer(cfg)
     dt = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+    if cfg.quant != "none":
+        # gradients through round() are zero — int8 is inference-only PTQ
+        raise NotImplementedError(
+            f"quant={cfg.quant!r} is inference-only (ops/quant.py); "
+            "training runs full precision")
 
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
                    rng: jax.Array):
@@ -370,8 +379,13 @@ def make_eval_step(cfg: Config):
     plus the GAN-style error (loss_IPSR) and the L1 validation loss."""
     models = build_models(cfg)
     dt = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+    from ..ops.convs import int8_mode
 
     def eval_step(state: TrainState, batch: Dict[str, jnp.ndarray]):
+        with int8_mode(cfg.quant == "int8"):
+            return _eval_step(state, batch)
+
+    def _eval_step(state: TrainState, batch: Dict[str, jnp.ndarray]):
         batch = normalize_batch(batch)
         gt = batch["image"]
         ref = batch["ref"]
@@ -415,8 +429,13 @@ def make_coarse_fn(cfg: Config):
     Returns fn(params_P, gt, mask) -> (fake_P, composite)."""
     models = build_models(cfg)
     dt = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+    from ..ops.convs import int8_mode
 
     def coarse(params_P, gt, mask):
+        with int8_mode(cfg.quant == "int8"):
+            return _coarse(params_P, gt, mask)
+
+    def _coarse(params_P, gt, mask):
         gt = normalize_image(gt)
         mask = resolve_mask(cfg, normalize_mask(mask))
         masked_mean = M.fill_hole_with_mean(gt, mask)
@@ -434,8 +453,13 @@ def make_inference_fn(cfg: Config):
     """Minimal jittable inference: (state-params, gt, mask, ref) -> fake_B."""
     models = build_models(cfg)
     dt = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+    from ..ops.convs import int8_mode
 
     def infer(params_G, params_P, vgg, gt, mask, ref):
+        with int8_mode(cfg.quant == "int8"):
+            return _infer(params_G, params_P, vgg, gt, mask, ref)
+
+    def _infer(params_G, params_P, vgg, gt, mask, ref):
         gt, ref = normalize_image(gt), normalize_image(ref)
         mask = resolve_mask(cfg, normalize_mask(mask))
         _, flag = prepare_masks(cfg, mask)

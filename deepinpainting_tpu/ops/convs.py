@@ -21,6 +21,7 @@ InstanceNorm weights).
 
 from __future__ import annotations
 
+import contextlib
 from typing import Optional, Sequence, Tuple
 
 import flax.linen as nn
@@ -29,6 +30,24 @@ import jax.numpy as jnp
 from jax import lax
 
 DIMENSION_NUMBERS = ("NHWC", "HWIO", "NHWC")
+
+# Trace-time int8 switch (ops/quant.py).  `int8_mode` is entered *inside*
+# the functions the caller jits, so whenever XLA traces the forward the flag
+# is live and conv2d/conv_transpose2d emit the s8xs8->s32 MXU path for every
+# eligible kernel — the compiled graph is static, no runtime branching.
+_INT8_TRACING = False
+
+
+@contextlib.contextmanager
+def int8_mode(enabled: bool = True):
+    """Enable dynamic-int8 convs for ops traced inside this block."""
+    global _INT8_TRACING
+    prev = _INT8_TRACING
+    _INT8_TRACING = bool(enabled)
+    try:
+        yield
+    finally:
+        _INT8_TRACING = prev
 
 
 def normal_init(gain: float = 0.02):
@@ -41,6 +60,11 @@ def normal_init(gain: float = 0.02):
 def conv2d(x: jnp.ndarray, kernel: jnp.ndarray, bias: Optional[jnp.ndarray],
            stride: int = 1, padding: int = 0, dilation: int = 1) -> jnp.ndarray:
     """PyTorch-geometry Conv2d.  x: [N,H,W,Cin], kernel: [kh,kw,Cin,Cout]."""
+    if _INT8_TRACING:
+        from . import quant
+        if quant.eligible(kernel.shape):
+            return quant.conv2d_int8(x, kernel, bias, stride, padding,
+                                     dilation)
     # bf16 operands accumulate in f32 on the TPU MXU natively and round once
     # at the output — there, numerically identical to
     # preferred_element_type=f32 followed by the downcast below, but unlike
@@ -73,6 +97,11 @@ def conv_transpose2d(x: jnp.ndarray, kernel: jnp.ndarray,
     k-1-padding.  kernel: [kh, kw, Cin, Cout] (already in forward
     orientation; we flip here).
     """
+    if _INT8_TRACING:
+        from . import quant
+        if quant.eligible(kernel.shape):
+            return quant.conv_transpose2d_int8(x, kernel, bias, stride,
+                                               padding)
     k = kernel.shape[0]
     pad = k - 1 - padding
     # no preferred_element_type: see conv2d — f32 accumulation is MXU-native
