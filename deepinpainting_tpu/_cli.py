@@ -77,6 +77,9 @@ def evaluate(argv=None):
                     help="override the checkpoint config's vgg npz path "
                          "(e.g. when the converted file moved)")
     ap.add_argument("--save_dir", default="", help="dump 2x2 eval grids here")
+    ap.add_argument("--quant", default="", choices=["", "none", "int8"],
+                    help="override the checkpoint config's quant mode "
+                         "(int8 = dynamic-int8 convs, ops/quant.py)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args(argv)
 
@@ -98,6 +101,8 @@ def evaluate(argv=None):
         cfg = cfg.replace(batch_size=args.batch_size)
     if args.vgg_weights:
         cfg = cfg.replace(vgg_weights=args.vgg_weights)
+    if args.quant:
+        cfg = cfg.replace(quant=args.quant)
 
     mgr = CheckpointManager(cfg)
     state = mgr.restore(args.which_epoch,
@@ -107,6 +112,58 @@ def evaluate(argv=None):
     run_eval(cfg, state, ds, max_images=args.max_images,
              save_dir=args.save_dir or None)
 
+
+
+def export(argv=None):
+    """Export a checkpoint's serving function as an AOT artifact
+    (engine/export_model.py): serialized StableHLO + config + npz weights.
+    Loadable with load_serving / `dip-serve --from_export` with no model
+    code and no tracing."""
+    ap = argparse.ArgumentParser(description=export.__doc__)
+    ap.add_argument("--checkpoints_dir", default="checkpoints")
+    ap.add_argument("--name", default="IPSR_inpainting")
+    ap.add_argument("--which_epoch", type=int, default=None,
+                    help="epoch checkpoint to export (omit + "
+                         "--random_weights for a smoke artifact)")
+    ap.add_argument("--random_weights", action="store_true")
+    ap.add_argument("--out", required=True, help="artifact directory")
+    ap.add_argument("--platforms", default="",
+                    help="comma-separated lowering platforms, e.g. "
+                         "'tpu,cpu' (default: current backend)")
+    ap.add_argument("--quant", default="", choices=["", "none", "int8"],
+                    help="override the checkpoint config's quant mode")
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args(argv)
+
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+
+    from .config import Config
+    from .engine import create_state
+    from .engine.checkpoint import CheckpointManager
+    from .engine.export_model import export_serving
+
+    cfg_path = os.path.join(args.checkpoints_dir, args.name, "config.json")
+    if os.path.exists(cfg_path):
+        cfg = Config.load(cfg_path)
+    else:
+        cfg = Config()
+    cfg = cfg.replace(checkpoints_dir=args.checkpoints_dir, name=args.name,
+                      is_train=False)
+    if args.quant:
+        cfg = cfg.replace(quant=args.quant)
+
+    state = create_state(cfg, jax.random.PRNGKey(cfg.seed))
+    if not args.random_weights:
+        mgr = CheckpointManager(cfg)
+        # 46 = the reference serving default (app.py:53), same as dip-serve
+        state = mgr.restore(args.which_epoch or 46, state)
+        mgr.close()
+    platforms = [p for p in args.platforms.split(",") if p] or None
+    out = export_serving(cfg, state, args.out, platforms=platforms)
+    print(f"exported serving artifact -> {out}")
 
 
 def serve(argv=None):
@@ -138,6 +195,13 @@ def serve(argv=None):
                     help="spatially partition each request's image over all "
                          "devices (parallel/spatial.py) — cuts batch-1 "
                          "latency on multi-chip hosts; no-op on one chip")
+    ap.add_argument("--quant", default="", choices=["", "none", "int8"],
+                    help="override the checkpoint config's quant mode "
+                         "(int8 = dynamic-int8 convs, ops/quant.py)")
+    ap.add_argument("--from_export", default="",
+                    help="serve a pre-exported AOT artifact directory "
+                         "(dip-export) instead of a checkpoint — no model "
+                         "code, no tracing")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args(argv)
 
@@ -154,6 +218,8 @@ def serve(argv=None):
     else:
         cfg = Config()
     cfg = cfg.replace(checkpoints_dir=args.checkpoints_dir, name=args.name)
+    if args.quant:
+        cfg = cfg.replace(quant=args.quant)
 
     epoch = args.which_epoch
     if epoch is None and not args.random_weights:
@@ -161,7 +227,8 @@ def serve(argv=None):
     print("compiling inference...", flush=True)
     app = make_app(cfg, epoch, args.static_dir or None,
                    max_batch=args.max_batch,
-                   batch_wait_ms=args.batch_wait_ms, sp=args.sp)
+                   batch_wait_ms=args.batch_wait_ms, sp=args.sp,
+                   from_export=args.from_export or None)
     print(f"serving on http://{args.host}:{args.port}"
           + (f" (coalescing up to {args.max_batch} requests)"
              if args.max_batch > 1 else ""), flush=True)

@@ -106,6 +106,14 @@ class Config:
     # INFERENCE paths only (make_inference_fn / make_eval_step /
     # make_coarse_fn); the MXU runs s8xs8->s32 at 2x the bf16 rate.  Training
     # rejects it (PTQ, not QAT).  See ops/quant.py.
+    grad_accum: int = 1            # microbatches per optimizer step (beyond-
+    # reference).  k>1 splits the batch into k microbatches and averages
+    # gradients, cutting peak activation memory ~1/k at the cost of a second
+    # forward pass (the k=1 step shares one forward between the D and G
+    # phases via jax.vjp; the accumulated step cannot hold k microbatches of
+    # residuals, so the G phase re-runs the forward).  D-then-G ordering and
+    # G-sees-updated-D semantics (models/IPSR.py:267-278) are preserved
+    # exactly.  batch_size must be divisible by grad_accum.
     debug_nan: bool = False        # halt training on non-finite losses
     metrics_every: int = 10        # fetch step metrics to host every K steps
                                    # (amortizes the blocking device sync;

@@ -268,6 +268,8 @@ def make_train_step(cfg: Config):
         raise NotImplementedError(
             f"quant={cfg.quant!r} is inference-only (ops/quant.py); "
             "training runs full precision")
+    if cfg.grad_accum > 1:
+        return _make_accum_train_step(cfg, models, tx, dt)
 
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
                    rng: jax.Array):
@@ -374,6 +376,184 @@ def make_train_step(cfg: Config):
     return train_step
 
 
+def _make_accum_train_step(cfg: Config, models: Models, tx, dt):
+    """Gradient-accumulated train step (Config.grad_accum = k > 1).
+
+    Beyond-reference capability: splits the batch into k microbatches and
+    averages gradients, so peak activation memory is ~1/k of the full
+    batch — the complement of Config.remat for >=512px training.  The
+    reference's optimize_parameters semantics (models/IPSR.py:267-278)
+    are preserved exactly: D/F gradients come from the pre-update
+    discriminators (scan 1), the D/F update applies, and the G/P phase
+    (scan 2) scores against the UPDATED discriminators.  Because only
+    one microbatch of forward residuals may live at a time, the G phase
+    re-runs the forward (the k=1 step instead shares one jax.vjp forward
+    between phases); the same per-microbatch rng is used in both scans,
+    so dropout masks — and therefore fake_B — are identical across
+    phases, like the reference's single forward.
+
+    Note the relativistic-average GAN losses (networks.py:175-183) take
+    batch means *inside* the loss, so a k-accumulated step is not
+    mathematically identical to one k-times-larger batch (true of
+    gradient accumulation in any relativistic-GAN trainer); L1 and
+    InnerCos terms accumulate exactly.
+    """
+    k = cfg.grad_accum
+
+    def _prep(batch):
+        batch = normalize_batch(batch)
+        gt = batch["image"]
+        ref = batch["ref"]
+        mask = resolve_mask(cfg, batch["mask"])
+        fmask, flag = prepare_masks(cfg, mask)
+        return gt, ref, mask, fmask, flag
+
+    def _d_grads(state, mb, rng):
+        gt, ref, mask, _, flag = _prep(mb)
+        vgg_gt = apply_vgg16(state.vgg, gt, cfg.vgg_width_scale)
+        ref_feat = apply_vgg16(state.vgg, ref, cfg.vgg_width_scale).relu4_3
+        out = two_stage_forward(models, state.params_G, state.params_P,
+                                gt, mask, ref_feat, flag, train=True,
+                                rng=rng, dtype=dt)
+        fake_B_const = lax.stop_gradient(out.fake_B)
+        vgg_fake = apply_vgg16(state.vgg, fake_B_const, cfg.vgg_width_scale,
+                               upto=3)
+
+        def d_loss_fn(params_D, params_F):
+            pred_fake = models.D.apply({"params": params_D}, fake_B_const)
+            pred_real = models.D.apply({"params": params_D}, gt)
+            loss_D_img = ra_gan_loss(pred_fake, pred_real, True, cfg.gan_type)
+            pred_fake_f = models.F.apply({"params": params_F},
+                                         lax.stop_gradient(vgg_fake.relu3_3))
+            pred_real_f = models.F.apply({"params": params_F},
+                                         vgg_gt.relu3_3)
+            loss_F_feat = ra_gan_loss(pred_fake_f, pred_real_f, True,
+                                      cfg.gan_type)
+            return 0.5 * loss_D_img + 0.5 * loss_F_feat, (loss_D_img,
+                                                          loss_F_feat)
+
+        (_, aux), grads = jax.value_and_grad(
+            d_loss_fn, argnums=(0, 1), has_aux=True)(
+                state.params_D, state.params_F)
+        return grads, aux
+
+    def _g_grads(state, new_D, new_F, mb, rng):
+        gt, ref, mask, fmask, flag = _prep(mb)
+        vgg_gt = apply_vgg16(state.vgg, gt, cfg.vgg_width_scale)
+        ref_feat = apply_vgg16(state.vgg, ref, cfg.vgg_width_scale).relu4_3
+        gt_target = vgg_gt.relu4_3
+
+        def fwd_fn(params_G, params_P):
+            out = two_stage_forward(models, params_G, params_P, gt, mask,
+                                    ref_feat, flag, train=True, rng=rng,
+                                    dtype=dt)
+            return out.fake_B, out.fake_P, out.taps
+
+        (fake_B, fake_P, taps), fwd_vjp = jax.vjp(
+            fwd_fn, state.params_G, state.params_P)
+        vgg_fake = apply_vgg16(state.vgg, lax.stop_gradient(fake_B),
+                               cfg.vgg_width_scale, upto=3)
+
+        def g_loss_fn(fake_B, fake_P, taps):
+            pred_fake = models.D.apply({"params": new_D}, fake_B)
+            pred_real = models.D.apply({"params": new_D}, gt)
+            pred_fake_f = models.F.apply({"params": new_F}, vgg_fake.relu3_3)
+            pred_real_f = models.F.apply({"params": new_F}, vgg_gt.relu3_3)
+            loss_G_GAN = (ra_gan_loss(pred_fake, pred_real, False,
+                                      cfg.gan_type)
+                          + ra_gan_loss(pred_fake_f, pred_real_f, False,
+                                        cfg.gan_type))
+            loss_G_L1 = (l1_loss(fake_B, gt)
+                         + l1_loss(fake_P, gt)) * cfg.lambda_A
+            loss_G = loss_G_L1 + loss_G_GAN * cfg.gan_weight
+            cos = jnp.zeros(())
+            if cfg.cosis and not cfg.skip:
+                cos1 = inner_cos_loss(taps["inner_cos"], fmask,
+                                      gt_target, cfg.strength)
+                cos2 = inner_cos_loss(taps["inner_cos2"], fmask,
+                                      gt_target, cfg.strength)
+                cos = cos1 + cos2
+                if cfg.faithful_detached_cosis:
+                    cos = lax.stop_gradient(cos)  # IPSR.py:255-263
+                loss_G = loss_G + cos
+            return loss_G, (loss_G_GAN, loss_G_L1, cos)
+
+        (_, aux), out_cots = jax.value_and_grad(
+            g_loss_fn, argnums=(0, 1, 2), has_aux=True)(fake_B, fake_P, taps)
+        grads = fwd_vjp(out_cots)
+        return grads, aux
+
+    def _mean_tree(tree):
+        return jax.tree.map(lambda x: x / k, tree)
+
+    def train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
+                   rng: jax.Array):
+        b = batch["image"].shape[0]
+        if b % k:
+            raise ValueError(
+                f"batch_size {b} is not divisible by grad_accum {k}")
+        micro = jax.tree.map(
+            lambda x: x.reshape((k, b // k) + x.shape[1:]), batch)
+        rngs = jax.random.split(rng, k)
+
+        # ---- scan 1: D/F gradients vs the pre-update discriminators ----
+        zero_df = jax.tree.map(jnp.zeros_like,
+                               (state.params_D, state.params_F))
+
+        def d_body(carry, xs):
+            mb, r = xs
+            grads, aux = _d_grads(state, mb, r)
+            acc, aux_acc = carry
+            acc = jax.tree.map(jnp.add, acc, grads)
+            aux_acc = jax.tree.map(jnp.add, aux_acc, aux)
+            return (acc, aux_acc), None
+
+        ((gD, gF), (loss_D_img, loss_F_feat)), _ = lax.scan(
+            d_body, (zero_df, (jnp.zeros(()), jnp.zeros(()))), (micro, rngs))
+        gD, gF = _mean_tree((gD, gF))
+        loss_D_img, loss_F_feat = loss_D_img / k, loss_F_feat / k
+        updD, optD = tx.update(gD, state.opt_D, state.params_D)
+        updF, optF = tx.update(gF, state.opt_F, state.params_F)
+        new_D = optax.apply_updates(state.params_D, updD)
+        new_F = optax.apply_updates(state.params_F, updF)
+
+        # ---- scan 2: G/P gradients vs the UPDATED discriminators ----
+        zero_gp = jax.tree.map(jnp.zeros_like,
+                               (state.params_G, state.params_P))
+
+        def g_body(carry, xs):
+            mb, r = xs
+            grads, aux = _g_grads(state, new_D, new_F, mb, r)
+            acc, aux_acc = carry
+            acc = jax.tree.map(jnp.add, acc, grads)
+            aux_acc = jax.tree.map(jnp.add, aux_acc, aux)
+            return (acc, aux_acc), None
+
+        ((gG, gP), (loss_G_GAN, loss_G_L1, loss_cos)), _ = lax.scan(
+            g_body, (zero_gp, (jnp.zeros(()), jnp.zeros(()), jnp.zeros(()))),
+            (micro, rngs))
+        gG, gP = _mean_tree((gG, gP))
+        loss_G_GAN, loss_G_L1, loss_cos = (loss_G_GAN / k, loss_G_L1 / k,
+                                           loss_cos / k)
+        updG, optG = tx.update(gG, state.opt_G, state.params_G)
+        updP, optP = tx.update(gP, state.opt_P, state.params_P)
+        new_G = optax.apply_updates(state.params_G, updG)
+        new_P = optax.apply_updates(state.params_P, updP)
+
+        new_state = state.replace(
+            step=state.step + 1,
+            params_G=new_G, params_P=new_P, params_D=new_D, params_F=new_F,
+            opt_G=optG, opt_P=optP, opt_D=optD, opt_F=optF)
+        metrics = {
+            "G_GAN": loss_G_GAN, "G_L1": loss_G_L1,
+            "D": loss_D_img, "F": loss_F_feat, "cosis": loss_cos,
+            "loss": loss_G_L1,
+        }
+        return new_state, metrics
+
+    return train_step
+
+
 def make_eval_step(cfg: Config):
     """model.test() parity (models/IPSR.py:192-207): deterministic forward,
     plus the GAN-style error (loss_IPSR) and the L1 validation loss."""
@@ -472,3 +652,23 @@ def make_inference_fn(cfg: Config):
         return fwd.fake_B, fwd.fake_P
 
     return infer
+
+
+def make_serving_fn(cfg: Config):
+    """The uint8-in / uint8-out single-call serving primitive.
+
+    Wraps make_inference_fn with device-side tensor2im quantization
+    (util/util.py:15-20 math; floor matches numpy's truncating astype):
+    the result crosses device->host as 1 byte/px instead of 4, which is
+    the serving request critical path over a remote link (BENCH_NOTES.md
+    "serving request-level latency").  Shared by the live WSGI session
+    (serve/app.py) and the AOT export artifact (engine/export_model.py).
+    """
+    infer = make_inference_fn(cfg)
+
+    def serve_fn(params_G, params_P, vgg, gt, mask, ref):
+        fake_B, _ = infer(params_G, params_P, vgg, gt, mask, ref)
+        return jnp.floor(jnp.clip((fake_B + 1.0) * 127.5,
+                                  0.0, 255.0)).astype(jnp.uint8)
+
+    return serve_fn

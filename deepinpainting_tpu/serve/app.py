@@ -33,7 +33,7 @@ from PIL import Image
 import jax
 
 from ..config import Config
-from ..engine import create_state, make_inference_fn
+from ..engine import create_state, make_serving_fn
 from ..engine.checkpoint import CheckpointManager
 
 
@@ -74,18 +74,11 @@ class InferenceSession:
                 state = mgr.restore(which_epoch, state)
                 mgr.close()
         self.state = state
-        infer = make_inference_fn(self.cfg)
-
-        def _infer_u8(pG, pP, vgg, gt, mask, ref):
-            fake_B, _ = infer(pG, pP, vgg, gt, mask, ref)
-            # device-side tensor2im (util/util.py:15-20 math; floor matches
-            # numpy's truncating astype): the serving result travels
-            # device->host as 1 byte/px instead of 4 — over a remote
-            # tunnel the fetch is the request critical path — and the jpg
-            # encoder wants uint8 anyway.
-            import jax.numpy as jnp
-            return jnp.floor(jnp.clip((fake_B + 1.0) * 127.5,
-                                      0.0, 255.0)).astype(jnp.uint8)
+        # uint8 both directions (engine.inpaint.make_serving_fn): the
+        # result travels device->host as 1 byte/px instead of 4 — over a
+        # remote tunnel the fetch is the request critical path — and the
+        # jpg encoder wants uint8 anyway.
+        _infer_u8 = make_serving_fn(self.cfg)
 
         if sp and len(jax.devices()) > 1:
             # Spatial partitioning: ONE request's image rows spread over
@@ -116,6 +109,26 @@ class InferenceSession:
                 return np.asarray(u8)
 
             self._batcher = MicroBatcher(batched, max_batch, batch_wait_ms)
+
+    @classmethod
+    def from_export(cls, artifact_dir: str) -> "InferenceSession":
+        """Serve a pre-exported AOT artifact (engine/export_model.py).
+
+        The graph comes from serialized StableHLO — no model construction
+        and no tracing happen in the serving process.  The artifact is a
+        fixed batch-1 graph, so request coalescing (--max_batch) and
+        spatial partitioning (--sp) do not apply here; export with the
+        wanted sharding/batch instead.
+        """
+        from ..engine.export_model import load_serving
+        loaded = load_serving(artifact_dir)
+        sess = cls.__new__(cls)
+        sess.cfg = loaded.cfg.replace(is_train=False, batch_size=1)
+        sess.state = loaded  # duck-types params_G / params_P / vgg
+        sess._infer = loaded.call
+        sess._lock = threading.Lock()
+        sess._batcher = None
+        return sess
 
     def warmup(self) -> None:
         # uint8, matching run_bytes' transport, so the first real request
@@ -262,10 +275,15 @@ class InpaintApp:
 def make_app(cfg: Config, which_epoch: Optional[int] = None,
              static_dir: Optional[str] = None, *, state=None,
              warmup: bool = True, max_batch: int = 1,
-             batch_wait_ms: float = 2.0, sp: bool = False) -> InpaintApp:
-    session = InferenceSession(cfg, which_epoch, state=state,
-                               max_batch=max_batch,
-                               batch_wait_ms=batch_wait_ms, sp=sp)
+             batch_wait_ms: float = 2.0, sp: bool = False,
+             from_export: Optional[str] = None) -> InpaintApp:
+    if from_export:
+        session = InferenceSession.from_export(from_export)
+        cfg = session.cfg
+    else:
+        session = InferenceSession(cfg, which_epoch, state=state,
+                                   max_batch=max_batch,
+                                   batch_wait_ms=batch_wait_ms, sp=sp)
     if warmup:
         session.warmup()
     return InpaintApp(session, static_dir or os.path.join(

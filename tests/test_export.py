@@ -1,0 +1,92 @@
+"""AOT serving-artifact tests (engine/export_model.py).
+
+The exported StableHLO graph must reproduce the live jitted serving
+function exactly, round-trip through disk, and be servable through the
+WSGI app with no model construction (the beyond-reference deployment
+path; the reference rebuilds its torch model at server import,
+app.py:79-83).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+from deepinpainting_tpu.config import Config
+from deepinpainting_tpu.engine import create_state, make_serving_fn
+from deepinpainting_tpu.engine.export_model import (export_serving,
+                                                    load_serving)
+
+S = 32
+# lax attention: pallas on CPU runs in interpret mode, which cannot
+# serialize (export_model.py portability note); TPU artifacts can carry
+# the pallas custom call.
+TINY = Config(fine_size=S, ngf=8, ndf=8, vgg_width_scale=1 / 8,
+              mask_type="random", attention_impl="lax", is_train=False)
+
+
+def _inputs(seed=0):
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 255, (1, S, S, 3), dtype=np.uint8)
+    ref = rng.integers(0, 255, (1, S, S, 3), dtype=np.uint8)
+    mask = np.zeros((1, S, S), np.uint8)
+    mask[:, 8:24, 8:24] = 1
+    return img, mask, ref
+
+
+@pytest.fixture(scope="module")
+def artifact(tmp_path_factory):
+    state = create_state(TINY, jax.random.PRNGKey(0))
+    out = str(tmp_path_factory.mktemp("export") / "artifact")
+    export_serving(TINY, state, out)
+    return out, state
+
+
+def test_export_roundtrip_matches_live(artifact):
+    out, state = artifact
+    loaded = load_serving(out)
+    img, mask, ref = _inputs()
+    live = make_serving_fn(TINY)(state.params_G, state.params_P,
+                                 state.vgg, img, mask, ref)
+    aot = loaded.call(loaded.params_G, loaded.params_P, loaded.vgg,
+                      img, mask, ref)
+    # same graph, same weights -> bit-identical uint8 output
+    np.testing.assert_array_equal(np.asarray(live), np.asarray(aot))
+    assert np.asarray(aot).dtype == np.uint8
+    assert loaded.cfg.fine_size == S
+
+
+def test_export_artifact_files(artifact):
+    import os
+    out, _ = artifact
+    for name in ("serving.jaxexp", "config.json", "params_G.npz",
+                 "params_P.npz", "vgg.npz"):
+        assert os.path.exists(os.path.join(out, name)), name
+
+
+def test_serve_from_export(artifact):
+    """The WSGI app over an artifact: full request cycle, zero tracing of
+    model code in the serving path."""
+    out, state = artifact
+    from deepinpainting_tpu.serve import make_app
+    from tests.test_serve import img_bytes, mask_bytes, multipart_body
+
+    app = make_app(TINY, from_export=out, warmup=False)
+    body, ctype = multipart_body({"srcImage": img_bytes(1),
+                                  "binaryMask": mask_bytes(),
+                                  "refImage": img_bytes(2)})
+    status = {}
+
+    def start_response(st, headers):
+        status["st"] = st
+
+    environ = {"REQUEST_METHOD": "POST", "PATH_INFO": "/getImage",
+               "CONTENT_TYPE": ctype, "CONTENT_LENGTH": str(len(body)),
+               "wsgi.input": __import__("io").BytesIO(body)}
+    list(app(environ, start_response))
+    assert status["st"].startswith("302")
+
+
+def test_load_missing_artifact_errors(tmp_path):
+    with pytest.raises(FileNotFoundError, match="serving artifact"):
+        load_serving(str(tmp_path / "nope"))

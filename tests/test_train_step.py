@@ -208,3 +208,39 @@ def test_train_step_accepts_uint8_batch():
     update = leaves_delta(state.params_G, sq.params_G)
     cross = leaves_delta(s8.params_G, sq.params_G)
     assert cross < 1e-3 * update, (cross, update)
+
+
+def test_grad_accum_matches_single_step_on_duplicated_batch(state):
+    """grad_accum=k over k identical microbatches == the k=1 step on one
+    microbatch: same D/F grads (linear average of identical terms), same
+    D update, and the G phase scores against the same updated D in both
+    paths (models/IPSR.py:267-278 ordering preserved)."""
+    cfg = TINY.replace(use_dropout=False)  # rng paths differ between the
+    # fused and the scanned step; with dropout off both are rng-free
+    half = tiny_batch(seed=5, b=1)
+    dup = {k: jnp.concatenate([v, v], axis=0) for k, v in half.items()}
+
+    s_out, s_m = jax.jit(make_train_step(cfg))(
+        state, half, jax.random.PRNGKey(3))
+    a_out, a_m = jax.jit(make_train_step(cfg.replace(grad_accum=2)))(
+        state, dup, jax.random.PRNGKey(3))
+
+    for key in ["G_GAN", "G_L1", "D", "F", "cosis"]:
+        np.testing.assert_allclose(float(a_m[key]), float(s_m[key]),
+                                   rtol=2e-4, atol=1e-6, err_msg=key)
+    # Adam's first update is +/-lr where |g| >> eps, so near-zero-gradient
+    # elements flip sign under FP jitter between the two compilations —
+    # require near-total agreement (same criterion as the DP/SP tests).
+    for net in ["params_G", "params_P", "params_D", "params_F"]:
+        a = np.concatenate([np.asarray(x).ravel() for x in
+                            jax.tree_util.tree_leaves(getattr(a_out, net))])
+        b = np.concatenate([np.asarray(x).ravel() for x in
+                            jax.tree_util.tree_leaves(getattr(s_out, net))])
+        agree = np.isclose(a, b, rtol=1e-3, atol=1e-5).mean()
+        assert agree > 0.995, f"{net}: only {agree:.4%} agree"
+
+
+def test_grad_accum_rejects_indivisible_batch(state):
+    step = make_train_step(TINY.replace(grad_accum=3))
+    with pytest.raises(ValueError, match="divisible"):
+        jax.jit(step)(state, tiny_batch(b=2), jax.random.PRNGKey(1))
