@@ -29,6 +29,11 @@ def main():
     ap.add_argument("--attn", default="pallas")
     ap.add_argument("--remat", action="store_true")
     ap.add_argument("--remat_depth", type=int, default=3)
+    ap.add_argument("--grad_accum", type=int, default=1)
+    ap.add_argument("--mem", action="store_true",
+                    help="also compile the bare (un-chained) step and print "
+                         "memory_analysis() temp/argument/output bytes — "
+                         "one extra jit variant (~4 min remote compile)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -43,7 +48,8 @@ def main():
 
     cfg = Config(fine_size=args.size, batch_size=args.batch,
                  dtype=args.dtype, attention_impl=args.attn,
-                 remat=args.remat, remat_depth=args.remat_depth)
+                 remat=args.remat, remat_depth=args.remat_depth,
+                 grad_accum=args.grad_accum)
     state = create_state(cfg, jax.random.PRNGKey(0))
     step = make_train_step(cfg)
     b, s = args.batch, args.size
@@ -70,6 +76,22 @@ def main():
         return sc
 
     key = jax.random.PRNGKey(1)
+
+    if args.mem:
+        batch = {"image": img, "mask": mask, "ref": ref}
+        t0 = time.time()
+        comp = jax.jit(step).lower(state, batch, key).compile()
+        ma = comp.memory_analysis()
+        gib = 1024 ** 3
+        print(f"[train-probe] mem (b={b} size={s} dtype={args.dtype} "
+              f"remat={args.remat}/{args.remat_depth} "
+              f"accum={args.grad_accum}): "
+              f"temp {ma.temp_size_in_bytes / gib:.2f} GiB, "
+              f"args {ma.argument_size_in_bytes / gib:.2f} GiB, "
+              f"out {ma.output_size_in_bytes / gib:.2f} GiB "
+              f"(compile {time.time() - t0:.0f}s)",
+              file=sys.stderr, flush=True)
+
     n, ns = args.iters, max(2, args.iters // 8)
     t0 = time.time()
     np.asarray(chained(state, img, mask, ref, key, n))
@@ -86,7 +108,8 @@ def main():
     per.sort()
     med = per[len(per) // 2]
     print(f"[train-probe] b={b} size={s} dtype={args.dtype} "
-          f"attn={args.attn} remat={args.remat}/{args.remat_depth}: "
+          f"attn={args.attn} remat={args.remat}/{args.remat_depth} "
+          f"accum={args.grad_accum}: "
           f"{med * 1000:.2f} ms/step = "
           f"{b / med:.1f} img/s "
           f"(spread {(per[-1] - per[0]) / med * 100:.1f}%)",

@@ -90,3 +90,19 @@ def test_serve_from_export(artifact):
 def test_load_missing_artifact_errors(tmp_path):
     with pytest.raises(FileNotFoundError, match="serving artifact"):
         load_serving(str(tmp_path / "nope"))
+
+
+def test_export_explicit_platforms(tmp_path):
+    """The --platforms path (export_model.py `platforms=`): an artifact
+    lowered with an explicit platform list loads and reproduces the live
+    output on that platform."""
+    state = create_state(TINY, jax.random.PRNGKey(1))
+    out = str(tmp_path / "artifact_cpu")
+    export_serving(TINY, state, out, platforms=["cpu"])
+    loaded = load_serving(out)
+    img, mask, ref = _inputs(seed=3)
+    live = make_serving_fn(TINY)(state.params_G, state.params_P,
+                                 state.vgg, img, mask, ref)
+    aot = loaded.call(loaded.params_G, loaded.params_P, loaded.vgg,
+                      img, mask, ref)
+    np.testing.assert_array_equal(np.asarray(live), np.asarray(aot))

@@ -161,3 +161,19 @@ def test_dp_sp_train_step_matches_single(single_ref):
     assert np.abs(a - b).max() <= 2.2 * TINY.lr, "non-Adam-shaped divergence"
     agree = np.isclose(a, b, rtol=1e-3, atol=1e-5).mean()
     assert agree > 0.90, f"only {agree:.4%} of params agree"
+
+
+def test_dp_step_with_grad_accum_runs_on_8_devices():
+    """Config.grad_accum composes with the GSPMD DP step: the global batch
+    reshapes to (k, B/k) microbatches inside the sharded jit (each
+    microbatch stays data-parallel across the mesh) and losses are finite."""
+    cfg = TINY.replace(grad_accum=2)
+    mesh = PP.make_mesh()
+    state = PP.replicate_state(create_state(cfg, jax.random.PRNGKey(0)),
+                               mesh)
+    step = PP.make_dp_train_step(cfg, mesh)
+    batch = PP.shard_batch(batch_of(8), mesh)
+    new_state, metrics = step(state, batch, jax.random.PRNGKey(1))
+    for k in ("G_GAN", "G_L1", "D", "F"):
+        assert np.isfinite(float(metrics[k])), k
+    assert int(new_state.step) == 1
