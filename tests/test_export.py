@@ -106,3 +106,21 @@ def test_export_explicit_platforms(tmp_path):
     aot = loaded.call(loaded.params_G, loaded.params_P, loaded.vgg,
                       img, mask, ref)
     np.testing.assert_array_equal(np.asarray(live), np.asarray(aot))
+
+
+def test_export_int8_artifact(tmp_path):
+    """Config.quant='int8' is a trace-time switch (export_model.py module
+    docstring): an artifact exported from an int8 config carries the
+    quantized graph and matches the live int8 serving function exactly."""
+    cfg = TINY.replace(quant="int8")
+    state = create_state(cfg, jax.random.PRNGKey(2))
+    out = str(tmp_path / "artifact_int8")
+    export_serving(cfg, state, out)
+    loaded = load_serving(out)
+    assert loaded.cfg.quant == "int8"
+    img, mask, ref = _inputs(seed=4)
+    live = make_serving_fn(cfg)(state.params_G, state.params_P,
+                                state.vgg, img, mask, ref)
+    aot = loaded.call(loaded.params_G, loaded.params_P, loaded.vgg,
+                      img, mask, ref)
+    np.testing.assert_array_equal(np.asarray(live), np.asarray(aot))
