@@ -132,6 +132,11 @@ def export(argv=None):
                          "'tpu,cpu' (default: current backend)")
     ap.add_argument("--quant", default="", choices=["", "none", "int8"],
                     help="override the checkpoint config's quant mode")
+    ap.add_argument("--attention_impl", default="",
+                    choices=["", "pallas", "lax"],
+                    help="override the checkpoint config's attention impl "
+                         "(pallas embeds a TPU custom call; use lax for "
+                         "CPU-portable artifacts — export_model.py)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args(argv)
 
@@ -154,6 +159,8 @@ def export(argv=None):
                       is_train=False)
     if args.quant:
         cfg = cfg.replace(quant=args.quant)
+    if args.attention_impl:
+        cfg = cfg.replace(attention_impl=args.attention_impl)
 
     state = create_state(cfg, jax.random.PRNGKey(cfg.seed))
     if not args.random_weights:
