@@ -348,7 +348,46 @@ def get_baseline():
         return None
 
 
+def _wait_for_backend():
+    """Block until the TPU backend answers, up to BENCH_WAIT_MIN minutes.
+
+    The axon tunnel has transient outages where backend init hangs
+    indefinitely or raises UNAVAILABLE (observed: multi-hour windows).  A
+    hung in-process init cannot be interrupted, so probe `jax.devices()`
+    in a killable subprocess and only let the real run start once a probe
+    succeeds — this keeps a driver-launched bench alive across a flapping
+    tunnel instead of failing on the first hang.
+    """
+    import subprocess
+    import time as _time
+    max_min = float(os.environ.get("BENCH_WAIT_MIN", "30"))
+    deadline = _time.time() + max_min * 60
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=300, capture_output=True)
+            if r.returncode == 0:
+                if attempt > 1:
+                    print(f"[bench] backend up after {attempt} probes",
+                          file=sys.stderr, flush=True)
+                return
+        except subprocess.TimeoutExpired:
+            pass
+        if _time.time() >= deadline:
+            print(f"[bench] backend still unavailable after {attempt} "
+                  f"probes / {max_min:.0f} min — proceeding (will fail "
+                  "loudly)", file=sys.stderr, flush=True)
+            return
+        print(f"[bench] backend probe {attempt} failed; retrying",
+              file=sys.stderr, flush=True)
+        _time.sleep(60)
+
+
 def main():
+    _wait_for_backend()
     size = int(os.environ.get("BENCH_SIZE", "256"))
     iters = int(os.environ.get("BENCH_ITERS", "64"))
     with_b1 = os.environ.get("BENCH_B1", "1") == "1"
