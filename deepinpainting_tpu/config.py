@@ -106,6 +106,12 @@ class Config:
     # INFERENCE paths only (make_inference_fn / make_eval_step /
     # make_coarse_fn); the MXU runs s8xs8->s32 at 2x the bf16 rate.  Training
     # rejects it (PTQ, not QAT).  See ops/quant.py.
+    pack_small_cin: bool = False   # exact small-Cin conv rewrite: pack kernel
+    # taps into the channel dim (space-to-depth for the 3->64 k4s2 first
+    # conv, tap stacking for VGG conv1_1) so the MXU reduction lane is
+    # kh*kw*Cin wide instead of Cin<=8 (~2% MFU, BENCH_NOTES.md op table).
+    # Same sums reassociated — bit-level-close, not bit-identical; default
+    # off until the measured TPU win is recorded.  See ops/convs.py.
     grad_accum: int = 1            # microbatches per optimizer step (beyond-
     # reference).  k>1 splits the batch into k microbatches and averages
     # gradients, cutting peak activation memory ~1/k at the cost of a second

@@ -153,12 +153,26 @@ def prefetch(iterable, depth: int = 2):
 
 
 def device_batches(iterable, mesh=None, axis: str = "data", depth: int = 2):
-    """Prefetched batches, placed on the mesh (sharded over `axis`)."""
+    """Prefetched batches, placed on the mesh (sharded over `axis`).
+
+    Placement (`shard_batch` -> jax.device_put) runs INSIDE the prefetch
+    worker thread, so batch k+1's host->device upload overlaps step k's
+    device execution — the role a pinned-memory copy stream plays in a
+    torch input pipeline.  Before this the upload was serialized with the
+    step dispatch in the consumer loop (~90 ms of a 135 ms/step trainer
+    wall at 256px b8 over the axon tunnel, BENCH_NOTES.md round 3); the
+    queue holds at most `depth` device-resident batches ahead.
+    """
     from ..parallel import mesh as pmesh
-    for batch in prefetch(iterable, depth):
-        if mesh is not None:
-            batch = pmesh.shard_batch(batch, mesh, axis)
-        yield batch
+    if mesh is None:
+        yield from prefetch(iterable, depth)
+        return
+
+    def placed():
+        for batch in iterable:
+            yield pmesh.shard_batch(batch, mesh, axis)
+
+    yield from prefetch(placed(), depth)
 
 
 def shard_batch(batch, mesh, axis: str = "data"):

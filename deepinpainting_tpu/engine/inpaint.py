@@ -271,8 +271,15 @@ def make_train_step(cfg: Config):
     if cfg.grad_accum > 1:
         return _make_accum_train_step(cfg, models, tx, dt)
 
+    from ..ops.convs import conv_modes
+
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
                    rng: jax.Array):
+        with conv_modes(cfg):
+            return _train_step(state, batch, rng)
+
+    def _train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
+                    rng: jax.Array):
         batch = normalize_batch(batch)
         gt = batch["image"]
         ref = batch["ref"]
@@ -486,8 +493,15 @@ def _make_accum_train_step(cfg: Config, models: Models, tx, dt):
     def _mean_tree(tree):
         return jax.tree.map(lambda x: x / k, tree)
 
+    from ..ops.convs import conv_modes
+
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
                    rng: jax.Array):
+        with conv_modes(cfg):
+            return _train_step(state, batch, rng)
+
+    def _train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
+                    rng: jax.Array):
         b = batch["image"].shape[0]
         if b % k:
             raise ValueError(
@@ -559,10 +573,10 @@ def make_eval_step(cfg: Config):
     plus the GAN-style error (loss_IPSR) and the L1 validation loss."""
     models = build_models(cfg)
     dt = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
-    from ..ops.convs import int8_mode
+    from ..ops.convs import conv_modes
 
     def eval_step(state: TrainState, batch: Dict[str, jnp.ndarray]):
-        with int8_mode(cfg.quant == "int8"):
+        with conv_modes(cfg):
             return _eval_step(state, batch)
 
     def _eval_step(state: TrainState, batch: Dict[str, jnp.ndarray]):
@@ -609,10 +623,10 @@ def make_coarse_fn(cfg: Config):
     Returns fn(params_P, gt, mask) -> (fake_P, composite)."""
     models = build_models(cfg)
     dt = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
-    from ..ops.convs import int8_mode
+    from ..ops.convs import conv_modes
 
     def coarse(params_P, gt, mask):
-        with int8_mode(cfg.quant == "int8"):
+        with conv_modes(cfg):
             return _coarse(params_P, gt, mask)
 
     def _coarse(params_P, gt, mask):
@@ -633,10 +647,10 @@ def make_inference_fn(cfg: Config):
     """Minimal jittable inference: (state-params, gt, mask, ref) -> fake_B."""
     models = build_models(cfg)
     dt = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
-    from ..ops.convs import int8_mode
+    from ..ops.convs import conv_modes
 
     def infer(params_G, params_P, vgg, gt, mask, ref):
-        with int8_mode(cfg.quant == "int8"):
+        with conv_modes(cfg):
             return _infer(params_G, params_P, vgg, gt, mask, ref)
 
     def _infer(params_G, params_P, vgg, gt, mask, ref):

@@ -50,6 +50,96 @@ def int8_mode(enabled: bool = True):
         _INT8_TRACING = prev
 
 
+# Trace-time small-Cin conv packing (Config.pack_small_cin).  The MXU
+# contracts 128-wide lanes; a conv whose reduction dim is Cin<=8 per tap
+# (netP's 3->64 k4s2 first conv, VGG's 3->64 k3s1 conv1_1) pads 3 real
+# channels to a full lane tile and runs at ~2% MFU (BENCH_NOTES.md round-2
+# op table: enc1 4.3 TF/s vs 131-191 for the wide layers).  Packing the
+# kernel taps into the channel dim multiplies the reduction width by
+# kh*kw (3 -> 27/48) at zero extra FLOPs — an exact algebraic rewrite
+# (identical sums, reassociated), not an approximation.
+_PACK_SMALL_CIN_TRACING = False
+_PACK_CIN_MAX = 8
+
+
+@contextlib.contextmanager
+def pack_small_cin_mode(enabled: bool = True):
+    """Enable small-Cin conv packing for ops traced inside this block."""
+    global _PACK_SMALL_CIN_TRACING
+    prev = _PACK_SMALL_CIN_TRACING
+    _PACK_SMALL_CIN_TRACING = bool(enabled)
+    try:
+        yield
+    finally:
+        _PACK_SMALL_CIN_TRACING = prev
+
+
+@contextlib.contextmanager
+def conv_modes(cfg):
+    """Enter every trace-time conv mode a Config selects (int8 PTQ,
+    small-Cin packing).  The single wrapper the engine's step/inference
+    builders use around their traced bodies."""
+    with int8_mode(getattr(cfg, "quant", "none") == "int8"), \
+            pack_small_cin_mode(getattr(cfg, "pack_small_cin", False)):
+        yield
+
+
+def _conv2d_space_to_depth(x, kernel, stride, padding):
+    """k4 s2 conv as space-to-depth(2) + k2 s1 conv — exact rewrite.
+
+    out[h] reads padded rows 2h..2h+3 = 2x2-pixel blocks h..h+1, so after
+    packing each 2x2 block into channels the window is 2x2 at stride 1.
+    Reduction width per tap goes Cin -> 4*Cin.  (The MLPerf-ResNet TPU
+    first-conv trick, applied to netP's enc1, networks.py:404 geometry.)
+    """
+    n, h, w, c = x.shape
+    cout = kernel.shape[3]
+    xp = jnp.pad(x, ((0, 0), (padding, padding), (padding, padding), (0, 0)))
+    h2, w2 = xp.shape[1] // 2, xp.shape[2] // 2
+    x2 = xp.reshape(n, h2, 2, w2, 2, c).transpose(0, 1, 3, 2, 4, 5)
+    x2 = x2.reshape(n, h2, w2, 4 * c)
+    # kernel [kh,kw,C,Cout] -> [block_i, in_block_i, block_j, in_block_j,
+    # C, Cout] -> [2, 2, (di,dj,C), Cout] matching x2's channel packing
+    k2 = kernel.reshape(2, 2, 2, 2, c, cout).transpose(0, 2, 1, 3, 4, 5)
+    k2 = k2.reshape(2, 2, 4 * c, cout)
+    return lax.conv_general_dilated(
+        x2, k2, window_strides=(1, 1), padding="VALID",
+        dimension_numbers=DIMENSION_NUMBERS).astype(x.dtype)
+
+
+def _conv2d_tap_stack(x, kernel, padding):
+    """k x k s1 conv as kh*kw shifted tap planes + a 1x1 conv (matmul) —
+    exact rewrite.  Reduction width goes Cin -> kh*kw*Cin (VGG conv1_1,
+    models/vgg16.py:14 geometry: 3 -> 27).  The stacked planes cost
+    kh*kw x the input's HBM bytes, negligible at Cin<=8 next to the MXU
+    utilization win."""
+    kh, kw, c, cout = kernel.shape
+    xp = jnp.pad(x, ((0, 0), (padding, padding), (padding, padding), (0, 0)))
+    h = xp.shape[1] - kh + 1
+    w = xp.shape[2] - kw + 1
+    taps = [xp[:, dh:dh + h, dw:dw + w, :]
+            for dh in range(kh) for dw in range(kw)]
+    xs = jnp.concatenate(taps, axis=-1)          # channel order (dh, dw, c)
+    k1 = kernel.reshape(1, 1, kh * kw * c, cout)  # same (dh, dw, c) order
+    return lax.conv_general_dilated(
+        xs, k1, window_strides=(1, 1), padding="VALID",
+        dimension_numbers=DIMENSION_NUMBERS).astype(x.dtype)
+
+
+def _packed_small_cin(x, kernel, stride, padding, dilation):
+    """Route an eligible tiny-Cin conv to its packed rewrite, else None."""
+    kh, kw, cin, _ = kernel.shape
+    if cin > _PACK_CIN_MAX or dilation != 1 or kh != kw or kh == 1:
+        return None
+    if stride == 1:
+        return _conv2d_tap_stack(x, kernel, padding)
+    if (stride == 2 and kh == 4
+            and (x.shape[1] + 2 * padding) % 2 == 0
+            and (x.shape[2] + 2 * padding) % 2 == 0):
+        return _conv2d_space_to_depth(x, kernel, stride, padding)
+    return None
+
+
 def normal_init(gain: float = 0.02):
     """normal(0, gain) kernel init — parity with networks.py:53-54."""
     def init(key, shape, dtype=jnp.float32):
@@ -65,6 +155,10 @@ def conv2d(x: jnp.ndarray, kernel: jnp.ndarray, bias: Optional[jnp.ndarray],
         if quant.eligible(kernel.shape):
             return quant.conv2d_int8(x, kernel, bias, stride, padding,
                                      dilation)
+    if _PACK_SMALL_CIN_TRACING:
+        y = _packed_small_cin(x, kernel, stride, padding, dilation)
+        if y is not None:
+            return y if bias is None else y + bias.astype(y.dtype)
     # bf16 operands accumulate in f32 on the TPU MXU natively and round once
     # at the output — there, numerically identical to
     # preferred_element_type=f32 followed by the downcast below, but unlike

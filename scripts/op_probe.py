@@ -28,6 +28,9 @@ def main():
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--pack", action="store_true",
+                    help="trace convs under pack_small_cin_mode (the "
+                         "Config.pack_small_cin rewrite) for an A/B")
     args = ap.parse_args()
 
     if args.cpu:
@@ -66,6 +69,9 @@ def main():
     cases = [
         # U-Net encoder ladder (k4 s2 p1)
         conv_case("unet_enc1_3->64@256", 256, 3, 64, 4, 2, 1),
+        # first convs with tiny Cin (pack_small_cin targets)
+        conv_case("vgg_3->64@256", 256, 3, 64, 3, 1, 1),
+        conv_case("unetg_6->64@256", 256, 6, 64, 3, 1, 1),
         conv_case("unet_enc2_64->128@128", 128, 64, 128, 4, 2, 1),
         conv_case("unet_enc3_128->256@64", 64, 128, 256, 4, 2, 1),
         conv_case("unet_enc4_256->512@32", 32, 256, 512, 4, 2, 1),
@@ -96,6 +102,12 @@ def main():
     for name, fn, x, w, macs in cases:
         if name not in sel:
             continue
+        if args.pack:
+            from deepinpainting_tpu.ops.convs import pack_small_cin_mode
+
+            def fn(x, w, _orig=fn):
+                with pack_small_cin_mode():
+                    return _orig(x, w)
 
         @jax.jit
         def chained(x, w, n):

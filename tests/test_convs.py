@@ -97,3 +97,79 @@ def test_module_init_distribution():
     k = params["params"]["kernel"]
     assert abs(float(k.std()) - 0.02) < 0.005
     assert float(jnp.abs(params["params"]["bias"]).max()) == 0.0
+
+
+# ---- small-Cin packed rewrites (Config.pack_small_cin, ops/convs.py) -------
+
+@pytest.mark.parametrize("cin,k,s,p,hw", [
+    (3, 4, 2, 1, 256 // 4),   # netP enc1 geometry (networks.py:404)
+    (6, 4, 2, 1, 32),         # same, 6-channel input
+    (3, 3, 1, 1, 64),         # VGG conv1_1 geometry (models/vgg16.py:14)
+    (6, 3, 1, 1, 33),         # odd spatial size, stride 1
+])
+def test_packed_small_cin_conv_matches_direct(cin, k, s, p, hw):
+    import jax
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.standard_normal((2, hw, hw, cin)), jnp.float32)
+    kern = jnp.asarray(rng.standard_normal((k, k, cin, 16)) * 0.1,
+                       jnp.float32)
+    bias = jnp.asarray(rng.standard_normal(16) * 0.1, jnp.float32)
+    direct = C.conv2d(x, kern, bias, s, p)
+    with C.pack_small_cin_mode():
+        packed = C.conv2d(x, kern, bias, s, p)
+    assert packed.shape == direct.shape
+    # exact algebraic rewrite: same products, reassociated sums
+    np.testing.assert_allclose(np.asarray(packed), np.asarray(direct),
+                               rtol=1e-5, atol=1e-5)
+
+    # gradients flow through the packed path and match the direct ones
+    def loss(mode):
+        def f(x, kern):
+            with C.pack_small_cin_mode(mode):
+                return jnp.sum(jnp.square(C.conv2d(x, kern, bias, s, p)))
+        return jax.grad(f, argnums=(0, 1))(x, kern)
+    gx_d, gk_d = loss(False)
+    gx_p, gk_p = loss(True)
+    np.testing.assert_allclose(np.asarray(gx_p), np.asarray(gx_d),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gk_p), np.asarray(gk_d),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_packed_small_cin_ineligible_paths_fall_through():
+    # wide Cin, dilated, 1x1, and odd-padded stride-2 convs must not rewrite
+    rng = np.random.default_rng(12)
+    x = jnp.asarray(rng.standard_normal((1, 16, 16, 32)), jnp.float32)
+    kern = jnp.asarray(rng.standard_normal((4, 4, 32, 8)), jnp.float32)
+    with C.pack_small_cin_mode():
+        assert C._packed_small_cin(x, kern, 2, 1, 1) is None  # cin > 8
+        x3 = x[..., :3]
+        k3 = kern[:, :, :3]
+        assert C._packed_small_cin(x3, k3, 2, 1, 2) is None   # dilated
+        assert C._packed_small_cin(x3, k3[:1, :1], 1, 0, 1) is None  # 1x1
+        x_odd = x3[:, :15, :15]
+        assert C._packed_small_cin(x_odd, k3, 2, 1, 1) is None  # odd H+2p
+
+
+def test_pack_small_cin_full_model_invariance():
+    # the full two-stage inference with pack_small_cin on must match off
+    # (netP enc1 s2d, netG outermost + VGG conv1_1 tap-stacked)
+    import jax
+    from deepinpainting_tpu.config import Config
+    from deepinpainting_tpu.engine import init_params, make_inference_fn
+    base = dict(fine_size=32, ngf=8, ndf=8, vgg_width_scale=1 / 8,
+                is_train=False, use_dropout=False)
+    params = init_params(Config(**base), jax.random.PRNGKey(0))
+    rng = np.random.default_rng(13)
+    gt = rng.uniform(-1, 1, (1, 32, 32, 3)).astype(np.float32)
+    ref = rng.uniform(-1, 1, (1, 32, 32, 3)).astype(np.float32)
+    mask = np.zeros((1, 32, 32), np.float32)
+    mask[:, 10:22, 10:22] = 1.0
+    outs = []
+    for pk in (False, True):
+        infer = make_inference_fn(Config(pack_small_cin=pk, **base))
+        fake_B, _ = infer(params["G"], params["P"], params["vgg"],
+                          jnp.asarray(gt), jnp.asarray(mask),
+                          jnp.asarray(ref))
+        outs.append(np.asarray(fake_B))
+    np.testing.assert_allclose(outs[1], outs[0], rtol=1e-4, atol=1e-4)

@@ -101,6 +101,27 @@ def test_prefetch_preserves_order_and_raises():
         list(prefetch(boom()))
 
 
+def test_device_batches_worker_thread_placement(data_dirs):
+    # device placement now happens inside the prefetch worker thread (so
+    # uploads overlap device steps); values, order, and shardings must be
+    # identical to consumer-thread shard_batch placement.
+    from deepinpainting_tpu.data.iterator import device_batches
+    from deepinpainting_tpu.parallel import mesh as pmesh
+    mesh = pmesh.make_mesh(jax.devices()[:2])
+    ds = InpaintDataset(data_dirs["img"], data_dirs["mask"],
+                        data_dirs["ref"], fine_size=S)
+    host = list(BatchIterator(ds, batch_size=2, seed=7, shuffle=False))
+    dev = list(device_batches(
+        iter(BatchIterator(ds, batch_size=2, seed=7, shuffle=False)), mesh))
+    assert len(dev) == len(host) == 2
+    want = pmesh.batch_sharding(mesh)
+    for d, h in zip(dev, host):
+        for k in ("image", "mask", "ref"):
+            assert isinstance(d[k], jax.Array)
+            assert d[k].sharding.is_equivalent_to(want, d[k].ndim)
+            np.testing.assert_array_equal(np.asarray(d[k]), h[k])
+
+
 def test_random_resized_crop_and_jitter_shapes():
     rng = np.random.default_rng(0)
     img = Image.fromarray(
