@@ -54,6 +54,29 @@ def build_hwpack(k):
     return k4
 
 
+def build_dpack(k):
+    """ConvTranspose2d k4 s2 p1 -> k2 s1 conv with the 2x2 output phase
+    packed into 4*Cout channels (sub-pixel decomposition, zero padded MACs).
+
+    Derivation (per axis, torch deconv semantics, pad p=1, k=4, s=2):
+      out[o] = sum_i x[i] * K[o + 1 - 2i],  kernel index in 0..3
+      o = 2m + 1: taps x[m]*K[2] + x[m+1]*K[0]
+      o = 2m + 2: taps x[m]*K[3] + x[m+1]*K[1]
+    Both phases read the window x[m..m+1] -> one k2 VALID conv over
+    pad(x, 1) emits o = -1..2H at positions m' = -1..H-1; slice [1:2H+1].
+    """
+    _, _, c, co = k.shape
+    k2 = np.zeros((2, 2, c, 4 * co), k.dtype)
+    taps = {1: (2, 0), 2: (3, 1)}  # r -> (tap at m', tap at m'+1)
+    for rh in (1, 2):
+        for rw in (1, 2):
+            b = ((rh - 1) * 2 + (rw - 1)) * co
+            for u in (0, 1):
+                for v in (0, 1):
+                    k2[u, v, :, b:b + co] = k[taps[rh][u], taps[rw][v]]
+    return k2
+
+
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--iters", type=int, default=128)
@@ -102,10 +125,25 @@ def main():
         y = y.reshape(n, h // 2, w // 2, 2, 2, co).transpose(0, 1, 3, 2, 4, 5)
         return y.reshape(n, h, w, co)
 
+    def dpack4(x, k2):
+        n, h, w, _ = x.shape
+        co = k2.shape[3] // 4
+        xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        y = lax.conv_general_dilated(
+            xp, k2, (1, 1), "VALID", dimension_numbers=DN)
+        y = y.reshape(n, h + 1, w + 1, 2, 2, co).transpose(0, 1, 3, 2, 4, 5)
+        y = y.reshape(n, 2 * h + 2, 2 * w + 2, co)
+        return y[:, 1:2 * h + 1, 1:2 * w + 1, :]
+
     variants = [("direct", direct, lambda k: k),
                 ("wpack2", wpack2, build_wpack),
                 ("hpack2", hpack2, build_hpack),
                 ("hwpack4", hwpack4, build_hwpack)]
+
+    from deepinpainting_tpu.ops.convs import conv_transpose2d
+
+    def direct_deconv(x, k):
+        return conv_transpose2d(x, k, None, stride=2, padding=1)
 
     rng = np.random.default_rng(0)
     if args.check:
@@ -119,42 +157,65 @@ def main():
                 assert err < 1e-4, (name, hw, c, err)
                 print(f"[check] {name}@{hw}x{c}: max|err| {err:.2e} OK",
                       flush=True)
+            kd = rng.normal(0, 0.1, (4, 4, c, c // 2)).astype(np.float32)
+            ref = np.asarray(direct_deconv(jnp.asarray(x), jnp.asarray(kd)))
+            got = np.asarray(dpack4(jnp.asarray(x), jnp.asarray(build_dpack(kd))))
+            err = np.abs(got - ref).max()
+            assert got.shape == ref.shape and err < 1e-4, (hw, c, err)
+            print(f"[check] dpack4@{hw}x{c}: max|err| {err:.2e} OK", flush=True)
         if args.cpu:
             return
 
     b = args.batch
-    cases = [("vgg64@256", 256, 64), ("vgg128@128", 128, 128)]
-    for cname, hw, c in cases:
-        x = jnp.asarray(rng.normal(0, 1, (b, hw, hw, c)) * 0.1, dt)
+    # (case, variant list, input hw/c, kernel builder args, useful MACs)
+    conv_cases = [("vgg64@256", 256, 64), ("vgg128@128", 128, 128)]
+    runs = []
+    for cname, hw, c in conv_cases:
         k0 = rng.normal(0, 0.02, (3, 3, c, c)).astype(np.float32)
         macs = b * hw * hw * 9 * c * c
         for name, fn, bk in variants:
-            kk = jnp.asarray(bk(k0), dt)
+            runs.append((cname, name, fn, (hw, c), bk(k0), macs))
+    # deconv cases: the 44%-MFU small-Cout upsample and the 97% big one
+    for cname, hw, cin, cout in (("deconv512->64@128", 128, 512, 64),
+                                 ("deconv1024->256@32", 32, 1024, 256)):
+        kd = rng.normal(0, 0.02, (4, 4, cin, cout)).astype(np.float32)
+        macs = b * (2 * hw) ** 2 * 16 * cin * cout // 4
+        runs.append((cname, "direct", direct_deconv, (hw, cin), kd, macs))
+        runs.append((cname, "dpack4", dpack4, (hw, cin), build_dpack(kd), macs))
 
-            @jax.jit
-            def chained(x, kk, n, fn=fn):
-                def body(i, carry):
-                    y = fn(carry, kk)
-                    return y * dt.type(1e-30) + carry * dt.type(1 - 1e-30)
-                return lax.fori_loop(0, n, body, x)
+    for cname, name, fn, (hw, c), k0, macs in runs:
+        x = jnp.asarray(rng.normal(0, 1, (b, hw, hw, c)) * 0.1, dt)
+        kk = jnp.asarray(k0, dt)
 
-            n, ns = args.iters, max(2, args.iters // 8)
-            t0 = time.time()
-            np.asarray(chained(x, kk, n))
-            compile_s = time.time() - t0
-            per = []
-            for _ in range(args.repeats):
-                a = time.time()
-                np.asarray(chained(x, kk, ns))
-                m = time.time()
-                np.asarray(chained(x, kk, ns + n))
-                z = time.time()
-                per.append(((z - m) - (m - a)) / n)
-            per.sort()
-            med = per[len(per) // 2]
-            print(f"[pack] {cname} {name}: {med * 1e6:.0f} us  "
-                  f"{2 * macs / med / 1e12:.1f} T/s  compile {compile_s:.0f}s",
-                  flush=True)
+        @jax.jit
+        def chained(x, kk, n, fn=fn):
+            def body(i, carry):
+                y = fn(carry, kk)
+                if y.shape != carry.shape:
+                    # quadratic consumer (op_probe methodology): linear
+                    # reduce-of-conv gets folded by XLA and never runs
+                    z = jnp.mean((y * y).astype(jnp.float32)) * 1e-30
+                    return carry * (1.0 + z.astype(carry.dtype))
+                return y * dt.type(1e-30) + carry * dt.type(1 - 1e-30)
+            return lax.fori_loop(0, n, body, x)
+
+        n, ns = args.iters, max(2, args.iters // 8)
+        t0 = time.time()
+        np.asarray(chained(x, kk, n))
+        compile_s = time.time() - t0
+        per = []
+        for _ in range(args.repeats):
+            a = time.time()
+            np.asarray(chained(x, kk, ns))
+            m = time.time()
+            np.asarray(chained(x, kk, ns + n))
+            z = time.time()
+            per.append(((z - m) - (m - a)) / n)
+        per.sort()
+        med = per[len(per) // 2]
+        print(f"[pack] {cname} {name}: {med * 1e6:.0f} us  "
+              f"{2 * macs / med / 1e12:.1f} T/s  compile {compile_s:.0f}s",
+              flush=True)
 
 
 if __name__ == "__main__":
