@@ -86,6 +86,8 @@ def main():
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--check", action="store_true",
                     help="assert exactness vs the direct conv (f32)")
+    ap.add_argument("--only", default="",
+                    help="substring filter on case name (re-run one case)")
     args = ap.parse_args()
 
     if args.cpu:
@@ -184,6 +186,8 @@ def main():
         runs.append((cname, "dpack4", dpack4, (hw, cin), build_dpack(kd), macs))
 
     for cname, name, fn, (hw, c), k0, macs in runs:
+        if args.only and args.only not in cname:
+            continue
         x = jnp.asarray(rng.normal(0, 1, (b, hw, hw, c)) * 0.1, dt)
         kk = jnp.asarray(k0, dt)
 
@@ -213,9 +217,10 @@ def main():
             per.append(((z - m) - (m - a)) / n)
         per.sort()
         med = per[len(per) // 2]
+        spread = (per[-1] - per[0]) / abs(med) * 100 if med else float("inf")
         print(f"[pack] {cname} {name}: {med * 1e6:.0f} us  "
-              f"{2 * macs / med / 1e12:.1f} T/s  compile {compile_s:.0f}s",
-              flush=True)
+              f"{2 * macs / med / 1e12:.1f} T/s  compile {compile_s:.0f}s  "
+              f"spread {spread:.0f}%", flush=True)
 
 
 if __name__ == "__main__":

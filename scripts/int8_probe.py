@@ -26,6 +26,8 @@ def main():
     ap.add_argument("--iters", type=int, default=64)
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--only", default="",
+                    help="substring filter on case name (re-run one case)")
     args = ap.parse_args()
 
     if args.cpu:
@@ -73,6 +75,8 @@ def main():
     ]
 
     for name, x, w, (stride, pad, dil), macs in cases:
+        if args.only and args.only not in name:
+            continue
         for tag, conv in (("bf16", conv_bf16), ("int8", conv_int8)):
             @jax.jit
             def chained(x, w, n, conv=conv):
@@ -103,8 +107,11 @@ def main():
             per.sort()
             med = per[len(per) // 2]
             tf = 2 * macs / med / 1e12
+            spread = ((per[-1] - per[0]) / abs(med) * 100 if med
+                      else float("inf"))
             print(f"[int8] {name} {tag}: {med * 1e6:.0f} us  {tf:.1f} T/s  "
-                  f"compile {compile_s:.0f}s", file=sys.stderr, flush=True)
+                  f"compile {compile_s:.0f}s  spread {spread:.0f}%",
+                  file=sys.stderr, flush=True)
 
 
 if __name__ == "__main__":
