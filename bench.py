@@ -19,7 +19,13 @@ Extra keys (BASELINE.json's metric names p50 latency; VERDICT r1 #2):
   mfu                   — model-FLOPs utilisation: analytic HLO flops/image
                           (jit lower + cost_analysis, no TPU compile) x
                           measured img/s / chip bf16 peak
-  spread_pct            — (max-min)/median of the timed repeats
+  spread_pct            — (max-min)/median of the timed repeats (raw:
+                          single tunnel stalls inflate it)
+  spread_core_pct       — middle-half spread (q3-q1)/median — the
+                          stall-robust stability number
+  stalled_repeats       — repeats discarded as physically impossible
+                          (negative differenced time: a stall hit the
+                          short window)
 
 Timing method: the axon TPU tunnel makes per-call block_until_ready
 unreliable and adds a ~32 ms fixed overhead per host->device call, so we
@@ -85,6 +91,17 @@ def _chip_peak_flops():
     return None, kind
 
 
+def _core_spread(s):
+    """Middle-half spread of a sorted sample: (q3-q1)/median.
+
+    Robust to the single-stall outliers the axon tunnel injects into a
+    minority of repeats; the raw (max-min)/median spread is still
+    reported alongside it."""
+    q = len(s) // 4
+    mid = s[q:len(s) - q] or s
+    return (mid[-1] - mid[0]) / s[len(s) // 2]
+
+
 def measure_ours(batch_sizes=(32,), size=256, iters=64,
                  repeats=None, with_b1=True):
     # One throughput batch size by default: each jit variant costs ~4 min of
@@ -133,52 +150,68 @@ def measure_ours(batch_sizes=(32,), size=256, iters=64,
 
         One compile per batch size (dynamic trip count); `repeats`
         (short, long) pairs -> sorted per-iter estimates.  On a noisy
-        tunnel day the spread can blow past the methodology's ~1.5%
-        (BENCH_r02 recorded 16.6%), so repeats auto-escalate to
-        BENCH_MAX_REPEATS (default 9) whenever spread > 5% — the median
-        of the larger sample is the artifact of record."""
+        tunnel day single multi-hundred-ms stalls blow the raw
+        (max-min)/median spread past the methodology's ~1.5% even while
+        the median holds (BENCH_r02: 16.6%; 2026-08-18 probe log: >100%),
+        so two defenses: estimates <= 0 — physically impossible, meaning
+        a stall landed inside the SHORT window — are discarded as known
+        measurement failures (counted in `stalled_repeats`), and repeats
+        escalate to BENCH_MAX_REPEATS (default 13) while the *core*
+        spread (middle half of the sorted sample, `_core_spread`)
+        exceeds 5%.  The median of the final sample is the artifact of
+        record; both raw and core spread are reported."""
         img, mask, _ = _example(b, size)
         gt, mk = jnp.asarray(img), jnp.asarray(mask)
         n_small = max(2, n // 8)
-        max_repeats = int(os.environ.get("BENCH_MAX_REPEATS", "9"))
+        max_repeats = int(os.environ.get("BENCH_MAX_REPEATS", "13"))
         np.asarray(chained(p3, mk, gt, n))  # compile + warm
-        per_iter = []
+        per_iter, stalls = [], 0
         while True:
             t0 = time.time()
             np.asarray(chained(p3, mk, gt, n_small))
             t1 = time.time()
             np.asarray(chained(p3, mk, gt, n_small + n))
             t2 = time.time()
-            per_iter.append(((t2 - t1) - (t1 - t0)) / n)
+            est = ((t2 - t1) - (t1 - t0)) / n
+            if est <= 0 and stalls < max_repeats:
+                stalls += 1
+                print(f"[bench] discarded impossible estimate "
+                      f"{est * 1e3:.2f} ms/iter (short-window stall "
+                      f"#{stalls})", file=sys.stderr)
+                continue
+            per_iter.append(est)
             if len(per_iter) < repeats:
                 continue
             s = sorted(per_iter)
-            spread = (s[-1] - s[0]) / s[len(s) // 2]
-            if spread <= 0.05 or len(per_iter) >= max_repeats:
-                return s
+            if _core_spread(s) <= 0.05 or len(per_iter) >= max_repeats:
+                return s, stalls
             if len(per_iter) == repeats:
-                print(f"[bench] spread {spread * 100:.1f}% > 5% after "
-                      f"{repeats} repeats — escalating to {max_repeats}",
-                      file=sys.stderr)
+                print(f"[bench] core spread {_core_spread(s) * 100:.1f}% "
+                      f"> 5% after {repeats} repeats — escalating to "
+                      f"{max_repeats}", file=sys.stderr)
 
     out = {}
     best, best_b = 0.0, batch_sizes[0]
     for b in batch_sizes:
-        ts = _timed(b, iters)
+        ts, stalls = _timed(b, iters)
         med = ts[len(ts) // 2]
         ips = b / med
         spread = (ts[-1] - ts[0]) / med * 100.0
+        core = _core_spread(ts) * 100.0
         print(f"[bench] ours batch={b}: {ips:.1f} img/s "
               f"({med * 1000:.2f} ms/iter, {len(ts)} repeats, "
-              f"spread {spread:.1f}%)", file=sys.stderr)
+              f"spread {spread:.1f}% core {core:.1f}%)", file=sys.stderr)
         out[f"p50_ms_per_image_b{b}"] = round(med * 1000 / b, 3)
         if ips > best:
             best, best_b = ips, b
             out["spread_pct"] = round(spread, 2)  # spread of the winner
+            out["spread_core_pct"] = round(core, 2)
+            if stalls:
+                out["stalled_repeats"] = stalls
 
     if with_b1 and 1 not in batch_sizes:
         try:
-            ts1 = _timed(1, iters)
+            ts1, _ = _timed(1, iters)
             out["p50_ms_per_image_b1"] = round(ts1[len(ts1) // 2] * 1000, 3)
             print(f"[bench] batch-1 p50 latency: "
                   f"{out['p50_ms_per_image_b1']:.2f} ms/img", file=sys.stderr)
