@@ -119,12 +119,15 @@ def measure_ours(batch_sizes=(32,), size=256, iters=64,
     # with f32 MXU accumulation and the streamed Pallas attention kernels.
     # Knobs for A/B runs: BENCH_DTYPE=float32, BENCH_ATTN=lax,
     # BENCH_QUANT=int8 (dynamic-int8 convs, ops/quant.py).
-    # BENCH_PACK=1 packs the tiny-Cin first convs (Config.pack_small_cin).
+    # BENCH_PACK=1 packs the tiny-Cin first convs (Config.pack_small_cin);
+    # BENCH_PACKOUT=1 enables the output-pixel packing rewrites
+    # (Config.pack_out — hpack2/dpack4, ops/convs.py).
     cfg = Config(fine_size=size, is_train=False, use_dropout=False,
                  dtype=os.environ.get("BENCH_DTYPE", "bfloat16"),
                  attention_impl=os.environ.get("BENCH_ATTN", "pallas"),
                  quant=os.environ.get("BENCH_QUANT", "none"),
-                 pack_small_cin=os.environ.get("BENCH_PACK", "0") == "1")
+                 pack_small_cin=os.environ.get("BENCH_PACK", "0") == "1",
+                 pack_out=os.environ.get("BENCH_PACKOUT", "0") == "1")
     params = init_params(cfg, jax.random.PRNGKey(0))
     infer = make_inference_fn(cfg)
     p3 = (params["G"], params["P"], params["vgg"])

@@ -110,8 +110,17 @@ class Config:
     # taps into the channel dim (space-to-depth for the 3->64 k4s2 first
     # conv, tap stacking for VGG conv1_1) so the MXU reduction lane is
     # kh*kw*Cin wide instead of Cin<=8 (~2% MFU, BENCH_NOTES.md op table).
-    # Same sums reassociated — bit-level-close, not bit-identical; default
-    # off until the measured TPU win is recorded.  See ops/convs.py.
+    # Same sums reassociated — bit-level-close, not bit-identical; measured
+    # e2e LOSS on v5e (BENCH_NOTES.md round-3 packing section) — stays off.
+    pack_out: bool = False         # exact output-pixel packing rewrites for
+    # the below-roofline high-res convs (BENCH_NOTES.md op table): k3s1
+    # convs at H>=128 run as a [4,3] stride-(2,1) conv packing 2 output
+    # rows into channels (hpack2), and small-Cout k4s2 deconvs as a k2s1
+    # conv packing the 2x2 sub-pixel phase (dpack4).  Same sums
+    # reassociated; measured e2e LOSS on v5e like pack_small_cin (the
+    # pack/unpack layout round trip costs more than the lane win —
+    # BENCH_NOTES.md round-3 packing section) — stays off.  See
+    # ops/convs.py _conv2d_hpack2/_deconv_dpack4.
     grad_accum: int = 1            # microbatches per optimizer step (beyond-
     # reference).  k>1 splits the batch into k microbatches and averages
     # gradients, cutting peak activation memory ~1/k at the cost of a second

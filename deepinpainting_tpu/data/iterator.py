@@ -163,9 +163,17 @@ def device_batches(iterable, mesh=None, axis: str = "data", depth: int = 2):
     wall at 256px b8 over the axon tunnel, BENCH_NOTES.md round 3); the
     queue holds at most `depth` device-resident batches ahead.
     """
+    import os
     from ..parallel import mesh as pmesh
     if mesh is None:
         yield from prefetch(iterable, depth)
+        return
+
+    if os.environ.get("DIP_PLACE_IN_CONSUMER", "0") == "1":
+        # measurement-only A/B escape hatch (scripts/wall_probe.py): place
+        # in the consumer loop, serializing upload with step dispatch.
+        for batch in prefetch(iterable, depth):
+            yield pmesh.shard_batch(batch, mesh, axis)
         return
 
     def placed():

@@ -74,13 +74,40 @@ def pack_small_cin_mode(enabled: bool = True):
         _PACK_SMALL_CIN_TRACING = prev
 
 
+# Trace-time output-pixel packing (Config.pack_out).  The round-2 op table
+# (BENCH_NOTES.md) leaves the high-res k3s1 VGG convs at ~33% MFU and the
+# small-Cout k4s2 deconvs at ~44% while same-kernel deeper shapes hit
+# 86-99% — the deficit is spatial-tile/output-lane geometry at large H,W,
+# not arithmetic.  Packing 2-4 neighboring OUTPUT pixels into the channel
+# dim (a strided conv with a row/phase-stacked kernel + an unpack reshape)
+# multiplies output lanes per MXU pass at 4/3x zero-padded MACs — exact
+# rewrites (identical sums), verified vs the direct ops in tests/test_convs.
+_PACK_OUT_TRACING = False
+_PACK_OUT_MIN_HW = 128     # direct convs are already >=86% MFU below this
+_PACK_OUT_MIN_CIN = 32     # tiny-Cin convs are pack_small_cin's regime
+_PACK_OUT_DECONV_MAX_COUT = 64   # only sub-lane-width deconv outputs lose
+
+
+@contextlib.contextmanager
+def pack_out_mode(enabled: bool = True):
+    """Enable output-pixel conv packing for ops traced inside this block."""
+    global _PACK_OUT_TRACING
+    prev = _PACK_OUT_TRACING
+    _PACK_OUT_TRACING = bool(enabled)
+    try:
+        yield
+    finally:
+        _PACK_OUT_TRACING = prev
+
+
 @contextlib.contextmanager
 def conv_modes(cfg):
     """Enter every trace-time conv mode a Config selects (int8 PTQ,
-    small-Cin packing).  The single wrapper the engine's step/inference
-    builders use around their traced bodies."""
+    small-Cin packing, output packing).  The single wrapper the engine's
+    step/inference builders use around their traced bodies."""
     with int8_mode(getattr(cfg, "quant", "none") == "int8"), \
-            pack_small_cin_mode(getattr(cfg, "pack_small_cin", False)):
+            pack_small_cin_mode(getattr(cfg, "pack_small_cin", False)), \
+            pack_out_mode(getattr(cfg, "pack_out", False)):
         yield
 
 
@@ -140,6 +167,84 @@ def _packed_small_cin(x, kernel, stride, padding, dilation):
     return None
 
 
+def _conv2d_hpack2(x, kernel):
+    """k3 s1 p1 conv as a [4,3] stride-(2,1) conv packing output rows
+    2i, 2i+1 into 2*Cout channels — exact rewrite (4/3x zero-padded MACs).
+
+    Output row r of the strided conv reads padded rows 2r..2r+3; kernel
+    taps 0..2 of that window reproduce direct-output row 2r, taps 1..3
+    reproduce row 2r+1.  The unpack reshape/transpose restores NHWC."""
+    kh, kw, c, co = kernel.shape
+    z = jnp.zeros((1, kw, c, co), kernel.dtype)
+    k2 = jnp.concatenate([jnp.concatenate([kernel, z], axis=0),
+                          jnp.concatenate([z, kernel], axis=0)], axis=3)
+    n, h, w, _ = x.shape
+    y = lax.conv_general_dilated(
+        x, k2, window_strides=(2, 1), padding=((1, 2), (1, 1)),
+        dimension_numbers=DIMENSION_NUMBERS)
+    y = y.reshape(n, h // 2, w, 2, co).transpose(0, 1, 3, 2, 4)
+    return y.reshape(n, h, w, co).astype(x.dtype)
+
+
+def _packed_out_conv(x, kernel, stride, padding, dilation):
+    """Route an eligible high-res k3s1 conv to the hpack2 rewrite."""
+    kh, kw, cin, _ = kernel.shape
+    if (stride != 1 or dilation != 1 or kh != 3 or kw != 3 or padding != 1
+            or cin < _PACK_OUT_MIN_CIN or x.shape[1] < _PACK_OUT_MIN_HW
+            or x.shape[1] % 2 != 0):
+        return None
+    return _conv2d_hpack2(x, kernel)
+
+
+def _deconv_dpack4(x, kernel):
+    """ConvTranspose2d k4 s2 p1 as a k2 s1 VALID conv over pad(x,1) with
+    the 2x2 output phase packed into 4*Cout channels — exact sub-pixel
+    decomposition (zero extra real MACs; kernel taps are regrouped).
+
+    Per axis (torch deconv semantics, p=1 k=4 s=2):
+      out[2m+1] = x[m]*K[2] + x[m+1]*K[0]
+      out[2m+2] = x[m]*K[3] + x[m+1]*K[1]
+    Both phases read window x[m..m+1]; one k2 VALID conv over pad(x,1)
+    emits positions m' = -1..H-1 and the final slice drops the two
+    out-of-range border rows/cols."""
+    _, _, c, co = kernel.shape
+    t = {1: (2, 0), 2: (3, 1)}  # phase -> (tap at m', tap at m'+1)
+    blocks = []
+    for rh in (1, 2):
+        for rw in (1, 2):
+            rows = [jnp.stack([kernel[t[rh][u], t[rw][v]] for v in (0, 1)],
+                              axis=0) for u in (0, 1)]
+            blocks.append(jnp.stack(rows, axis=0))  # [2,2,C,Co]
+    k2 = jnp.concatenate(blocks, axis=3)            # [2,2,C,4Co]
+    n, h, w, _ = x.shape
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    y = lax.conv_general_dilated(
+        xp, k2, window_strides=(1, 1), padding="VALID",
+        dimension_numbers=DIMENSION_NUMBERS)
+    y = y.reshape(n, h + 1, w + 1, 2, 2, co).transpose(0, 1, 3, 2, 4, 5)
+    y = y.reshape(n, 2 * h + 2, 2 * w + 2, co)
+    return y[:, 1:2 * h + 1, 1:2 * w + 1, :].astype(x.dtype)
+
+
+def _packed_out_deconv(x, kernel, stride, padding):
+    """Route an eligible deconv to its packed rewrite, else None.
+
+    k4 s2 p1 with sub-lane Cout -> dpack4.  k3 s1 p1 (netG's halving /
+    outermost ConvTranspose, networks.py:238-242,261) is algebraically a
+    plain k3s1p1 conv of the spatially-flipped kernel -> hpack2."""
+    kh, kw, cin, cout = kernel.shape
+    if (stride == 2 and padding == 1 and kh == 4 and kw == 4
+            and cout <= _PACK_OUT_DECONV_MAX_COUT
+            and cin >= _PACK_OUT_MIN_CIN
+            and 2 * x.shape[1] >= _PACK_OUT_MIN_HW):
+        return _deconv_dpack4(x, kernel)
+    if (stride == 1 and padding == 1 and kh == 3 and kw == 3
+            and cin >= _PACK_OUT_MIN_CIN and x.shape[1] >= _PACK_OUT_MIN_HW
+            and x.shape[1] % 2 == 0):
+        return _conv2d_hpack2(x, jnp.flip(kernel, axis=(0, 1)))
+    return None
+
+
 def normal_init(gain: float = 0.02):
     """normal(0, gain) kernel init — parity with networks.py:53-54."""
     def init(key, shape, dtype=jnp.float32):
@@ -157,6 +262,10 @@ def conv2d(x: jnp.ndarray, kernel: jnp.ndarray, bias: Optional[jnp.ndarray],
                                      dilation)
     if _PACK_SMALL_CIN_TRACING:
         y = _packed_small_cin(x, kernel, stride, padding, dilation)
+        if y is not None:
+            return y if bias is None else y + bias.astype(y.dtype)
+    if _PACK_OUT_TRACING:
+        y = _packed_out_conv(x, kernel, stride, padding, dilation)
         if y is not None:
             return y if bias is None else y + bias.astype(y.dtype)
     # bf16 operands accumulate in f32 on the TPU MXU natively and round once
@@ -196,6 +305,10 @@ def conv_transpose2d(x: jnp.ndarray, kernel: jnp.ndarray,
         if quant.eligible(kernel.shape):
             return quant.conv_transpose2d_int8(x, kernel, bias, stride,
                                                padding)
+    if _PACK_OUT_TRACING:
+        y = _packed_out_deconv(x, kernel, stride, padding)
+        if y is not None:
+            return y if bias is None else y + bias.astype(y.dtype)
     k = kernel.shape[0]
     pad = k - 1 - padding
     # no preferred_element_type: see conv2d — f32 accumulation is MXU-native

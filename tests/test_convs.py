@@ -151,6 +151,119 @@ def test_packed_small_cin_ineligible_paths_fall_through():
         assert C._packed_small_cin(x_odd, k3, 2, 1, 1) is None  # odd H+2p
 
 
+# ---- output-pixel packing rewrites (Config.pack_out, ops/convs.py) ---------
+
+def test_hpack2_matches_direct():
+    # hpack2 is an exact rewrite of the k3s1p1 conv at any even H
+    import jax
+    rng = np.random.default_rng(21)
+    x = jnp.asarray(rng.standard_normal((2, 20, 14, 33)), jnp.float32)
+    kern = jnp.asarray(rng.standard_normal((3, 3, 33, 9)) * 0.1, jnp.float32)
+    direct = C.conv2d(x, kern, None, 1, 1)
+    packed = C._conv2d_hpack2(x, kern)
+    assert packed.shape == direct.shape
+    np.testing.assert_allclose(np.asarray(packed), np.asarray(direct),
+                               rtol=1e-5, atol=1e-5)
+
+    # gradients through the packed path match the direct ones
+    def g(fn):
+        return jax.grad(lambda x, k: jnp.sum(jnp.square(fn(x, k))),
+                        argnums=(0, 1))(x, kern)
+    (gx_d, gk_d) = g(lambda x, k: C.conv2d(x, k, None, 1, 1))
+    (gx_p, gk_p) = g(C._conv2d_hpack2)
+    np.testing.assert_allclose(np.asarray(gx_p), np.asarray(gx_d),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gk_p), np.asarray(gk_d),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_dpack4_matches_direct_deconv():
+    # dpack4 is an exact sub-pixel rewrite of ConvTranspose2d k4 s2 p1
+    import jax
+    rng = np.random.default_rng(22)
+    x = jnp.asarray(rng.standard_normal((2, 9, 7, 34)), jnp.float32)
+    kern = jnp.asarray(rng.standard_normal((4, 4, 34, 6)) * 0.1, jnp.float32)
+    direct = C.conv_transpose2d(x, kern, None, stride=2, padding=1)
+    packed = C._deconv_dpack4(x, kern)
+    assert packed.shape == direct.shape
+    np.testing.assert_allclose(np.asarray(packed), np.asarray(direct),
+                               rtol=1e-5, atol=1e-5)
+
+    def g(fn):
+        return jax.grad(lambda x, k: jnp.sum(jnp.square(fn(x, k))),
+                        argnums=(0, 1))(x, kern)
+    (gx_d, gk_d) = g(lambda x, k: C.conv_transpose2d(x, k, None, 2, 1))
+    (gx_p, gk_p) = g(C._deconv_dpack4)
+    np.testing.assert_allclose(np.asarray(gx_p), np.asarray(gx_d),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gk_p), np.asarray(gk_d),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_pack_out_routing_gates():
+    # only the below-roofline shapes rewrite; everything else falls through
+    rng = np.random.default_rng(23)
+    hw = C._PACK_OUT_MIN_HW
+    x = jnp.asarray(rng.standard_normal((1, hw, hw, 64)), jnp.float32)
+    k3 = jnp.asarray(rng.standard_normal((3, 3, 64, 64)), jnp.float32)
+    assert C._packed_out_conv(x, k3, 1, 1, 1) is not None      # eligible
+    assert C._packed_out_conv(x, k3, 2, 1, 1) is None          # strided
+    assert C._packed_out_conv(x, k3, 1, 1, 2) is None          # dilated
+    assert C._packed_out_conv(x[:, :hw // 2], k3, 1, 1, 1) is None  # small H
+    assert C._packed_out_conv(x[..., :8], k3[:, :, :8], 1, 1, 1) is None
+    assert C._packed_out_conv(x[:, :hw - 1], k3, 1, 1, 1) is None   # odd H
+
+    k4 = jnp.asarray(rng.standard_normal((4, 4, 64, 64)), jnp.float32)
+    assert C._packed_out_deconv(x, k4, 2, 1) is not None       # eligible
+    assert C._packed_out_deconv(x, k4, 1, 1) is None           # k4 stride 1
+    wide = jnp.asarray(rng.standard_normal((4, 4, 64, 65)), jnp.float32)
+    assert C._packed_out_deconv(x, wide, 2, 1) is None         # Cout > 64
+    assert C._packed_out_deconv(x[:, :16, :16], k4, 2, 1) is None  # small
+
+    kt3 = jnp.asarray(rng.standard_normal((3, 3, 64, 64)), jnp.float32)
+    assert C._packed_out_deconv(x, kt3, 1, 1) is not None  # k3s1 -> hpack2
+    assert C._packed_out_deconv(x, kt3, 1, 0) is None      # wrong padding
+
+
+def test_pack_out_k3s1_deconv_matches_direct():
+    # the k3s1p1 ConvTranspose routes through hpack2 on the flipped kernel
+    rng = np.random.default_rng(25)
+    x = jnp.asarray(rng.standard_normal((2, 12, 10, 35)), jnp.float32)
+    kern = jnp.asarray(rng.standard_normal((3, 3, 35, 5)) * 0.1, jnp.float32)
+    direct = C.conv_transpose2d(x, kern, None, stride=1, padding=1)
+    packed = C._conv2d_hpack2(x, jnp.flip(kern, axis=(0, 1)))
+    assert packed.shape == direct.shape
+    np.testing.assert_allclose(np.asarray(packed), np.asarray(direct),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_pack_out_full_model_invariance(monkeypatch):
+    # the full two-stage inference with pack_out on must match off.  The
+    # tiny test config never reaches the production thresholds, so lower
+    # them to make the rewrites fire inside the real model graph.
+    import jax
+    from deepinpainting_tpu.config import Config
+    from deepinpainting_tpu.engine import init_params, make_inference_fn
+    monkeypatch.setattr(C, "_PACK_OUT_MIN_HW", 16)
+    monkeypatch.setattr(C, "_PACK_OUT_MIN_CIN", 4)
+    base = dict(fine_size=32, ngf=8, ndf=8, vgg_width_scale=1 / 8,
+                is_train=False, use_dropout=False)
+    params = init_params(Config(**base), jax.random.PRNGKey(0))
+    rng = np.random.default_rng(24)
+    gt = rng.uniform(-1, 1, (1, 32, 32, 3)).astype(np.float32)
+    ref = rng.uniform(-1, 1, (1, 32, 32, 3)).astype(np.float32)
+    mask = np.zeros((1, 32, 32), np.float32)
+    mask[:, 10:22, 10:22] = 1.0
+    outs = []
+    for pk in (False, True):
+        infer = make_inference_fn(Config(pack_out=pk, **base))
+        fake_B, _ = infer(params["G"], params["P"], params["vgg"],
+                          jnp.asarray(gt), jnp.asarray(mask),
+                          jnp.asarray(ref))
+        outs.append(np.asarray(fake_B))
+    np.testing.assert_allclose(outs[1], outs[0], rtol=1e-4, atol=1e-4)
+
+
 def test_pack_small_cin_full_model_invariance():
     # the full two-stage inference with pack_small_cin on must match off
     # (netP enc1 s2d, netG outermost + VGG conv1_1 tap-stacked)
