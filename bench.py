@@ -176,11 +176,21 @@ def measure_ours(batch_sizes=(32,), size=256, iters=64,
             np.asarray(chained(p3, mk, gt, n_small + n))
             t2 = time.time()
             est = ((t2 - t1) - (t1 - t0)) / n
-            if est <= 0 and stalls < max_repeats:
+            if est <= 0:
+                # Physically impossible — a stall landed inside the SHORT
+                # window.  NEVER let these into the sample (a negative
+                # median would make the artifact of record garbage); if the
+                # tunnel is so unstable we can't collect a sample, fail
+                # loudly instead of publishing.
                 stalls += 1
                 print(f"[bench] discarded impossible estimate "
                       f"{est * 1e3:.2f} ms/iter (short-window stall "
                       f"#{stalls})", file=sys.stderr)
+                if stalls >= 2 * max_repeats:
+                    raise RuntimeError(
+                        f"bench: {stalls} impossible per-iter estimates at "
+                        f"batch {b} — tunnel too unstable for a valid "
+                        "record; rerun when the backend settles")
                 continue
             per_iter.append(est)
             if len(per_iter) < repeats:

@@ -166,7 +166,9 @@ def export(argv=None):
     if not args.random_weights:
         mgr = CheckpointManager(cfg)
         # 46 = the reference serving default (app.py:53), same as dip-serve
-        state = mgr.restore(args.which_epoch or 46, state)
+        # (`is None`, not truthiness: --which_epoch 0 is a valid epoch)
+        epoch = 46 if args.which_epoch is None else args.which_epoch
+        state = mgr.restore(epoch, state)
         mgr.close()
     platforms = [p for p in args.platforms.split(",") if p] or None
     out = export_serving(cfg, state, args.out, platforms=platforms)
@@ -215,6 +217,17 @@ def serve(argv=None):
     if args.cpu:
         import jax
         jax.config.update("jax_platforms", "cpu")
+
+    if args.from_export and (args.quant or args.sp or args.max_batch > 1
+                             or args.which_epoch is not None
+                             or args.random_weights):
+        # the artifact is a fixed pre-traced batch-1 graph; these knobs
+        # must be chosen at `dip-export` time (see InferenceSession.
+        # from_export) — silently ignoring them would mislead operators
+        ap.error("--from_export serves the artifact exactly as exported; "
+                 "it cannot be combined with --quant/--sp/--max_batch/"
+                 "--which_epoch/--random_weights (re-export with the "
+                 "wanted options instead)")
 
     from .config import Config
     from .serve import make_app

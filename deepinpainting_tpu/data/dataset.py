@@ -74,6 +74,7 @@ class InpaintDataset:
                            transport=transport))
         self._pool = None
         self._pool_workers = 0
+        self._atexit_registered = False
         self.paths = _glob_images(img_root)
         self.ref_paths = _glob_images(ref_root)
         self.mask_paths = _glob_images(mask_root, ("*.png", "*.jpg"))
@@ -166,7 +167,9 @@ class InpaintDataset:
                 max_workers=workers, mp_context=mp.get_context("spawn"),
                 initializer=_pool_init, initargs=(cls, args, kwargs))
             self._pool_workers = workers
-            atexit.register(self.close)
+            if not self._atexit_registered:  # once per dataset, not per
+                atexit.register(self.close)  # rebuild (duplicates pin self)
+                self._atexit_registered = True
         return self._pool
 
     def close(self):
@@ -183,6 +186,7 @@ class InpaintDataset:
         d = dict(self.__dict__)
         d["_pool"] = None
         d["_pool_workers"] = 0
+        d["_atexit_registered"] = False  # the copy never registered
         return d
 
 

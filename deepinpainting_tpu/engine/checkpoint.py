@@ -30,7 +30,12 @@ class CheckpointManager:
         directory = directory or os.path.join(cfg.checkpoints_dir, cfg.name)
         self.directory = os.path.abspath(directory)
         os.makedirs(self.directory, exist_ok=True)
-        cfg.save(os.path.join(self.directory, "config.json"))
+        # config.json is written with the FIRST checkpoint save, not here:
+        # restore-only managers (dip-evaluate / dip-serve / dip-export) must
+        # not clobber a training run's recorded config with their transient
+        # CLI overrides (--quant / --batch_size / --vgg_weights / is_train).
+        self._cfg = cfg
+        self._config_written = False
         # async_save: orbax's save copies device->host synchronously (so
         # later donated-buffer reuse by the next train step is safe) and
         # only the serialization/disk write proceeds in the background;
@@ -45,6 +50,9 @@ class CheckpointManager:
 
     def save(self, epoch: int, state: Any) -> None:
         """model.save(epoch) parity (models/IPSR.py:300-304), all nets."""
+        if not self._config_written:
+            self._cfg.save(os.path.join(self.directory, "config.json"))
+            self._config_written = True
         self._mgr.save(epoch, args=ocp.args.StandardSave(state))
         if not self.async_save:
             self._mgr.wait_until_finished()

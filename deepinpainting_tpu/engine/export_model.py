@@ -112,8 +112,13 @@ def load_serving(artifact_dir: str) -> SimpleNamespace:
     with open(fn_path, "rb") as f:
         exported = jax.export.deserialize(bytearray(f.read()))
     cfg = Config.load(os.path.join(artifact_dir, CFG_FILE))
-    trees = [_unflatten_npz(os.path.join(artifact_dir, n))
-             for n in NPZ_FILES]
+    # Weights live on device from load time: jit does NOT cache numpy
+    # argument transfers, so leaving these as host arrays would re-upload
+    # the whole parameter set on every .call (catastrophic over a remote
+    # tunnel; real PCIe traffic on a local host).  Per-request inputs stay
+    # numpy — their transfer rides the one execute dispatch (serve/app.py).
+    trees = jax.device_put([_unflatten_npz(os.path.join(artifact_dir, n))
+                            for n in NPZ_FILES])
     return SimpleNamespace(cfg=cfg, params_G=trees[0], params_P=trees[1],
                            vgg=trees[2], exported=exported,
                            call=jax.jit(exported.call))

@@ -417,7 +417,10 @@ def _make_accum_train_step(cfg: Config, models: Models, tx, dt):
 
     def _d_grads(state, mb, rng):
         gt, ref, mask, _, flag = _prep(mb)
-        vgg_gt = apply_vgg16(state.vgg, gt, cfg.vgg_width_scale)
+        # upto=3: the D phase consumes only relu3_3 of gt (gt's relu4_3 is
+        # recomputed in the G phase anyway) — running the three 512-channel
+        # conv4_* layers here would be dead compute k times per step.
+        vgg_gt = apply_vgg16(state.vgg, gt, cfg.vgg_width_scale, upto=3)
         ref_feat = apply_vgg16(state.vgg, ref, cfg.vgg_width_scale).relu4_3
         out = two_stage_forward(models, state.params_G, state.params_P,
                                 gt, mask, ref_feat, flag, train=True,

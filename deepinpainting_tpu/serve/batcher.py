@@ -53,6 +53,11 @@ class MicroBatcher:
         self.wait_ms = wait_ms
         self._q: "queue.Queue[_Pending]" = queue.Queue()
         self._closed = False
+        # serializes enqueue vs close: an item enqueued under the lock is
+        # guaranteed to sit AHEAD of the shutdown sentinel in the FIFO, so
+        # the worker always processes it before exiting (no stranded caller
+        # blocking out its full timeout).
+        self._submit_lock = threading.Lock()
         self.batches_run = 0       # observability (asserted in tests)
         self.items_served = 0
         self._worker = threading.Thread(target=self._run, daemon=True)
@@ -68,10 +73,11 @@ class MicroBatcher:
         compile server); steady-state calls return in milliseconds."""
         if timeout is None:
             timeout = float(os.environ.get("DIP_BATCH_TIMEOUT", "1800"))
-        if self._closed:
-            raise RuntimeError("batcher is closed")
         p = _Pending(item)
-        self._q.put(p)
+        with self._submit_lock:
+            if self._closed:
+                raise RuntimeError("batcher is closed")
+            self._q.put(p)
         if not p.event.wait(timeout):
             raise TimeoutError(f"batched inference exceeded {timeout}s")
         if p.error is not None:
@@ -79,8 +85,25 @@ class MicroBatcher:
         return p.result
 
     def close(self):
-        self._closed = True
-        self._q.put(None)  # wake the worker
+        """Idempotent.  Blocks until the worker has finished every item
+        enqueued before the close (in-flight device call included)."""
+        with self._submit_lock:
+            if self._closed:
+                return
+            self._closed = True
+            self._q.put(None)  # wake the worker; FIFO => behind all items
+        self._worker.join()
+        # Defensive: nothing can be queued past the sentinel (enqueue and
+        # close are serialized above), but fail any straggler rather than
+        # leaving a caller blocked for its full timeout.
+        while True:
+            try:
+                p = self._q.get_nowait()
+            except queue.Empty:
+                break
+            if p is not None:
+                p.error = RuntimeError("batcher is closed")
+                p.event.set()
 
     # -- worker side ---------------------------------------------------------
     def _collect(self) -> Optional[List[_Pending]]:

@@ -118,6 +118,34 @@ def test_closed_batcher_rejects():
         mb.submit({"x": np.zeros((1,), np.float32)})
 
 
+def test_close_completes_enqueued_items():
+    """Items enqueued before close() must be served, not stranded: enqueue
+    and close are serialized (batcher._submit_lock), so every accepted item
+    sits ahead of the shutdown sentinel in the FIFO."""
+    release = threading.Event()
+
+    def fn(stacked):
+        release.wait(5.0)  # hold the worker so close() races real work
+        return stacked["x"] + 1.0
+
+    mb = MicroBatcher(fn, max_batch=2, wait_ms=1.0)
+    results = []
+    t = threading.Thread(target=lambda: results.append(
+        mb.submit({"x": np.full((1,), 7.0, np.float32)}, timeout=10.0)))
+    t.start()
+    time.sleep(0.05)  # let the worker pick the item up
+    release.set()
+    mb.close()  # blocks until the in-flight batch finishes
+    t.join(10.0)
+    assert results and float(results[0][0]) == 8.0
+
+
+def test_close_is_idempotent():
+    mb = MicroBatcher(lambda b: b["x"], max_batch=2, wait_ms=1.0)
+    mb.close()
+    mb.close()  # second close: no deadlock, no error
+
+
 def test_serving_app_with_batching():
     """End-to-end: the WSGI app with max_batch>1 serves concurrent POSTs
     through coalesced device calls and returns valid images."""

@@ -210,6 +210,31 @@ def test_checkpoint_roundtrip_and_resume(tmp_path):
     mgr.close()
 
 
+def test_restore_only_manager_does_not_clobber_config(tmp_path):
+    """A restore-only CheckpointManager (the dip-evaluate / dip-serve /
+    dip-export path) must not rewrite the training run's config.json with
+    its transient CLI overrides (checkpoint.py: config is written with the
+    first SAVE only)."""
+    cfg = TINY.replace(checkpoints_dir=str(tmp_path))
+    state = create_state(cfg, jax.random.PRNGKey(0))
+    mgr = CheckpointManager(cfg)
+    cfg_path = os.path.join(mgr.directory, "config.json")
+    assert not os.path.exists(cfg_path)  # nothing saved yet
+    mgr.save(1, state)
+    assert Config.load(cfg_path).quant == "none"
+    mgr.close()
+
+    # evaluate-style session: load config, apply overrides, restore only
+    eval_cfg = Config.load(cfg_path).replace(
+        checkpoints_dir=str(tmp_path), quant="int8", is_train=False)
+    mgr2 = CheckpointManager(eval_cfg)
+    mgr2.restore(1, create_state(eval_cfg, jax.random.PRNGKey(1)))
+    mgr2.close()
+    on_disk = Config.load(cfg_path)
+    assert on_disk.quant == "none"  # override did NOT leak to disk
+    assert on_disk.is_train == cfg.is_train
+
+
 def test_network_npz_export_import_roundtrip(tmp_path):
     state = create_state(TINY, jax.random.PRNGKey(0))
     p = str(tmp_path / "netG.npz")

@@ -92,6 +92,27 @@ def test_load_missing_artifact_errors(tmp_path):
         load_serving(str(tmp_path / "nope"))
 
 
+def test_loaded_weights_are_device_resident(artifact):
+    """load_serving must device_put the weight trees: jit does not cache
+    numpy-argument transfers, so host-resident weights would re-upload the
+    whole parameter set on every .call (export_model.py load_serving)."""
+    out, _ = artifact
+    loaded = load_serving(out)
+    for tree in (loaded.params_G, loaded.params_P, loaded.vgg):
+        for leaf in jax.tree_util.tree_leaves(tree):
+            assert isinstance(leaf, jax.Array), type(leaf)
+
+
+def test_serve_cli_rejects_overrides_with_from_export(capsys):
+    """--from_export serves the artifact exactly as exported; combining it
+    with trace-time knobs (--quant/--sp/--max_batch/...) must error loudly
+    instead of silently ignoring them (_cli.serve)."""
+    from deepinpainting_tpu._cli import serve
+    with pytest.raises(SystemExit):
+        serve(["--from_export", "/tmp/whatever", "--quant", "int8", "--cpu"])
+    assert "cannot be combined" in capsys.readouterr().err
+
+
 def test_export_explicit_platforms(tmp_path):
     """The --platforms path (export_model.py `platforms=`): an artifact
     lowered with an explicit platform list loads and reproduces the live
