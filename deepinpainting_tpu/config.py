@@ -38,9 +38,11 @@ class Config:
     norm: str = "instance"        # only 'instance' is supported; build_models
                                   # rejects others loudly (networks.py:27-28)
     use_dropout: bool = False
-    init_type: str = "normal"     # only 'normal'; rejected otherwise
-                                  # (networks.py:66-67 raises for unknown init)
-    init_gain: float = 0.02       # normal-init std, threaded to every conv
+    init_type: str = "normal"     # 'normal'|'xavier'|'kaiming'|'orthogonal'
+                                  # (networks.py:49-62; unknown raises like
+                                  # networks.py:66-67)
+    init_gain: float = 0.02       # init gain (normal std / xavier+orthogonal
+                                  # gain), threaded to every conv
 
     # ---- attention (IPSR / CSA shift layer) --------------------------------
     threshold: float = 5.0 / 16.0  # feature-mask binarization threshold

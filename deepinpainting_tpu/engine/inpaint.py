@@ -77,11 +77,10 @@ def build_models(cfg: Config) -> Models:
         raise NotImplementedError(
             f"normalization layer [{cfg.norm}] is not found "
             "(only 'instance' is supported)")
-    if cfg.init_type != "normal":
+    if cfg.init_type not in ("normal", "xavier", "kaiming", "orthogonal"):
         # init_weights raises for unknown init methods (networks.py:66-67).
         raise NotImplementedError(
-            f"initialization method [{cfg.init_type}] is not implemented "
-            "(only 'normal' is supported)")
+            f"initialization method [{cfg.init_type}] is not implemented")
     if cfg.quant not in ("none", "int8"):
         raise NotImplementedError(
             f"quant mode [{cfg.quant}] is not implemented "
@@ -104,18 +103,22 @@ def build_models(cfg: Config) -> Models:
                             triple_weight=cfg.triple_weight,
                             truncate_backward=cfg.faithful_backward_truncation,
                             attention_impl=cfg.attention_impl,
-                            init_gain=cfg.init_gain, remat=cfg.remat,
+                            init_gain=cfg.init_gain,
+                            init_type=cfg.init_type, remat=cfg.remat,
                             remat_depth=cfg.remat_depth),
         P=UnetGenerator(input_nc=cfg.input_nc, output_nc=cfg.output_nc,
                         num_downs=num_downs, ngf=cfg.ngf,
                         use_dropout=cfg.use_dropout,
-                        init_gain=cfg.init_gain, remat=cfg.remat,
+                        init_gain=cfg.init_gain,
+                        init_type=cfg.init_type, remat=cfg.remat,
                         remat_depth=cfg.remat_depth),
         D=NLayerDiscriminator(input_nc=cfg.input_nc, ndf=cfg.ndf,
                               use_sigmoid=use_sigmoid,
-                              init_gain=cfg.init_gain),
+                              init_gain=cfg.init_gain,
+                              init_type=cfg.init_type),
         F=PFDiscriminator(width=max(1, int(512 * cfg.vgg_width_scale)),
-                          init_gain=cfg.init_gain),
+                          init_gain=cfg.init_gain,
+                          init_type=cfg.init_type),
     )
 
 

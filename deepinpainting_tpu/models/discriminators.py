@@ -25,26 +25,29 @@ class NLayerDiscriminator(nn.Module):
     n_layers: int = 3
     use_sigmoid: bool = False
     init_gain: float = 0.02
+    init_type: str = "normal"
 
     @nn.compact
     def __call__(self, x):
-        g = self.init_gain
+        g, it = self.init_gain, self.init_type
         y = TorchConv(self.ndf, 4, stride=2, padding=1, name="conv0",
-                      init_gain=g)(x)
+                      init_gain=g, init_type=it)(x)
         y = leaky_relu(y, 0.2)
         nf = 1
         for n in range(1, self.n_layers):
             nf = min(2 ** n, 8)
             y = TorchConv(self.ndf * nf, 4, stride=2, padding=1,
-                          name=f"conv{n}", init_gain=g)(y)
+                          name=f"conv{n}", init_gain=g, init_type=it)(y)
             y = InstanceNorm(name=f"norm{n}")(y)
             y = leaky_relu(y, 0.2)
         nf = min(2 ** self.n_layers, 8)
         y = TorchConv(self.ndf * nf, 4, stride=1, padding=1,
-                      name=f"conv{self.n_layers}", init_gain=g)(y)
+                      name=f"conv{self.n_layers}", init_gain=g,
+                      init_type=it)(y)
         y = InstanceNorm(name=f"norm{self.n_layers}")(y)
         y = leaky_relu(y, 0.2)
-        y = TorchConv(1, 4, stride=1, padding=1, name="head", init_gain=g)(y)
+        y = TorchConv(1, 4, stride=1, padding=1, name="head",
+                      init_gain=g, init_type=it)(y)
         if self.use_sigmoid:
             y = nn.sigmoid(y)
         return y
@@ -57,6 +60,7 @@ class PFDiscriminator(nn.Module):
     """
     width: int = 512
     init_gain: float = 0.02
+    init_type: str = "normal"
 
     @nn.compact
     def __call__(self, x):
@@ -64,21 +68,21 @@ class PFDiscriminator(nn.Module):
         # that (only sub-64px debug configs — relu3_3 is fine_size/8) the
         # last conv would produce a zero-sized map and mean() over it NaNs
         # the whole GAN loss.  Zero-pad up to the minimum instead.
-        g = self.init_gain
+        g, it = self.init_gain, self.init_type
         pad_h = max(0, 8 - x.shape[1])
         pad_w = max(0, 8 - x.shape[2])
         if pad_h or pad_w:
             x = jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
         y = TorchConv(self.width, 4, stride=2, padding=1, name="conv0",
-                      init_gain=g)(x)
+                      init_gain=g, init_type=it)(x)
         y = leaky_relu(y, 0.2)
         y = TorchConv(self.width, 4, stride=2, padding=1, name="conv1",
-                      init_gain=g)(y)
+                      init_gain=g, init_type=it)(y)
         # affine=False InstanceNorm: normalize only, no learned scale/offset
         mean = jnp.mean(y, axis=(1, 2), keepdims=True)
         var = jnp.mean(jnp.square(y - mean), axis=(1, 2), keepdims=True)
         y = (y - mean) / jnp.sqrt(var + 1e-5)
         y = leaky_relu(y, 0.2)
         y = TorchConv(self.width, 4, stride=2, padding=1, name="conv2",
-                      init_gain=g)(y)
+                      init_gain=g, init_type=it)(y)
         return y

@@ -34,6 +34,7 @@ class UnetSkipBlock(nn.Module):
     innermost: bool = False
     use_dropout: bool = False
     init_gain: float = 0.02
+    init_type: str = "normal"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -46,7 +47,7 @@ class UnetSkipBlock(nn.Module):
         if not self.outermost:
             y = leaky_relu(y, 0.2)
         y = TorchConv(self.inner_nc, 4, stride=2, padding=1, name="down_conv",
-                      init_gain=self.init_gain)(y)
+                      init_gain=self.init_gain, init_type=self.init_type)(y)
         if not (self.outermost or self.innermost):
             y = InstanceNorm(name="down_norm")(y)
 
@@ -57,7 +58,8 @@ class UnetSkipBlock(nn.Module):
         # ---- up ----
         y = nn.relu(y)
         y = TorchConvTranspose(self.outer_nc, 4, stride=2, padding=1,
-                               name="up_conv", init_gain=self.init_gain)(y)
+                               name="up_conv", init_gain=self.init_gain,
+                               init_type=self.init_type)(y)
         if self.outermost:
             return jnp.tanh(y)
         y = InstanceNorm(name="up_norm")(y)
@@ -77,6 +79,7 @@ class UnetGenerator(nn.Module):
     ngf: int = 64
     use_dropout: bool = False
     init_gain: float = 0.02
+    init_type: str = "normal"
     remat: bool = False
     remat_depth: int = 3
 
@@ -91,6 +94,7 @@ class UnetGenerator(nn.Module):
         # tradeoffs in BENCH_NOTES.md.
         n_levels = self.num_downs  # blocks constructed inner -> outer
         def Block(level_from_outer, *a, **kw):
+            kw.setdefault("init_type", self.init_type)
             cls = UnetSkipBlock
             if self.remat and (self.remat_depth == 0
                                or level_from_outer < self.remat_depth):

@@ -55,6 +55,7 @@ class UnetBlock3(nn.Module):
     truncate_backward: bool = True
     attention_impl: str = "lax"
     init_gain: float = 0.02
+    init_type: str = "normal"
 
     @nn.compact
     def __call__(self, x, aux: Dict[str, Any], train: bool = False
@@ -72,17 +73,20 @@ class UnetBlock3(nn.Module):
         # ---- down ----
         if self.outermost:
             y = TorchConv(self.inner_nc, 3, stride=1, padding=1,
-                          name="down_conv3", init_gain=self.init_gain)(x)
+                          name="down_conv3", init_gain=self.init_gain,
+                          init_type=self.init_type)(x)
         else:
             y = leaky_relu(x, 0.2)
             y = TorchConv(input_nc, 4, stride=2, padding=3, dilation=2,
-                          name="down_dilconv", init_gain=self.init_gain)(y)
+                          name="down_dilconv", init_gain=self.init_gain,
+                          init_type=self.init_type)(y)
             if not self.innermost:
                 y = InstanceNorm(name="down_norm")(y)
                 y = leaky_relu(y, 0.2)
                 y = TorchConv(self.inner_nc, 3, stride=1, padding=1,
                               name="down_conv3",
-                              init_gain=self.init_gain)(y)
+                              init_gain=self.init_gain,
+                          init_type=self.init_type)(y)
                 if self.with_attention:
                     # IPSR shift attention on the 512-ch feature
                     # (networks.py:347: [..., conv3, ipsr, innerCos, IN]).
@@ -103,13 +107,15 @@ class UnetBlock3(nn.Module):
             y = nn.relu(y)
             y = TorchConvTranspose(self.outer_nc, 3, stride=1, padding=1,
                                    name="up_conv3",
-                                   init_gain=self.init_gain)(y)
+                                   init_gain=self.init_gain,
+                          init_type=self.init_type)(y)
             return y, taps
         if self.innermost:
             y = nn.relu(y)
             y = TorchConvTranspose(self.outer_nc, 4, stride=2, padding=1,
                                    name="up_conv",
-                                   init_gain=self.init_gain)(y)
+                                   init_gain=self.init_gain,
+                          init_type=self.init_type)(y)
             y = InstanceNorm(name="up_norm")(y)
         else:
             if self.with_attention:
@@ -119,12 +125,14 @@ class UnetBlock3(nn.Module):
             y = nn.relu(y)
             y = TorchConvTranspose(self.outer_nc, 3, stride=1, padding=1,
                                    name="up_conv3",
-                                   init_gain=self.init_gain)(y)
+                                   init_gain=self.init_gain,
+                          init_type=self.init_type)(y)
             y = InstanceNorm(name="up_norm3")(y)
             y = nn.relu(y)
             y = TorchConvTranspose(self.outer_nc, 4, stride=2, padding=1,
                                    name="up_conv",
-                                   init_gain=self.init_gain)(y)
+                                   init_gain=self.init_gain,
+                          init_type=self.init_type)(y)
             y = InstanceNorm(name="up_norm")(y)
         if self.use_dropout:
             y = nn.Dropout(0.5, deterministic=not train)(y)
@@ -149,6 +157,7 @@ class UnetGeneratorIPSR(nn.Module):
     truncate_backward: bool = True
     attention_impl: str = "lax"
     init_gain: float = 0.02
+    init_type: str = "normal"
     remat: bool = False
     remat_depth: int = 3
 
@@ -160,6 +169,7 @@ class UnetGeneratorIPSR(nn.Module):
         # downsample, networks.py:241-243), so its outer levels hold even
         # more of the activation bytes than the rough net's.
         def Block(level_from_outer, *a, **kw):
+            kw.setdefault("init_type", self.init_type)
             cls = UnetBlock3
             if self.remat and (self.remat_depth == 0
                                or level_from_outer < self.remat_depth):

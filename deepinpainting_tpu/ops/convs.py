@@ -252,6 +252,65 @@ def normal_init(gain: float = 0.02):
     return init
 
 
+def make_init(init_type: str = "normal", gain: float = 0.02,
+              transposed: bool = False):
+    """Kernel initializer matching init_weights (networks.py:49-70).
+
+    torch fan semantics (`_calculate_fan_in_and_fan_out`): fan_in =
+    weight.size(1) * kh * kw.  For Conv2d (weight [Cout,Cin,kh,kw]) that is
+    Cin*kh*kw; for ConvTranspose2d (weight [Cin,Cout,kh,kw]) it is
+    Cout*kh*kw — hence `transposed`.  Our kernels are HWIO [kh,kw,Cin,Cout]
+    for both, so the fans are computed here, not by a generic helper.
+
+      * normal:     N(0, gain)                       (networks.py:53-54)
+      * xavier:     N(0, gain*sqrt(2/(fan_in+fan_out)))      (:55-56)
+      * kaiming:    N(0, sqrt(2/fan_in))  — a=0, mode='fan_in',
+                    torch default leaky_relu gain sqrt(2)     (:57-58)
+      * orthogonal: rows of the torch-flattened [size(0), rest] matrix
+                    orthonormal, scaled by gain               (:59-60)
+    """
+    def fans(shape):
+        kh, kw, cin, cout = shape
+        rf = kh * kw
+        return (cout * rf, cin * rf) if transposed else (cin * rf, cout * rf)
+
+    if init_type == "normal":
+        def init(key, shape, dtype=jnp.float32):
+            return gain * jax.random.normal(key, shape, dtype)
+    elif init_type == "xavier":
+        def init(key, shape, dtype=jnp.float32):
+            fan_in, fan_out = fans(shape)
+            std = gain * (2.0 / (fan_in + fan_out)) ** 0.5
+            return std * jax.random.normal(key, shape, dtype)
+    elif init_type == "kaiming":
+        def init(key, shape, dtype=jnp.float32):
+            fan_in, _ = fans(shape)
+            std = (2.0 / fan_in) ** 0.5
+            return std * jax.random.normal(key, shape, dtype)
+    elif init_type == "orthogonal":
+        def init(key, shape, dtype=jnp.float32):
+            kh, kw, cin, cout = shape
+            rows = cin if transposed else cout  # torch weight.size(0)
+            cols = (kh * kw * cin * cout) // rows
+            big, small = max(rows, cols), min(rows, cols)
+            a = jax.random.normal(key, (big, small), jnp.float32)
+            q, r = jnp.linalg.qr(a)
+            # sign fix makes the distribution Haar-uniform (torch does the
+            # same in nn.init.orthogonal_)
+            q = q * jnp.sign(jnp.diagonal(r))
+            m = q.T if rows < cols else q  # [rows, cols]
+            if transposed:  # torch layout [Cin,Cout,kh,kw] -> HWIO
+                k = m.reshape(cin, cout, kh, kw).transpose(2, 3, 0, 1)
+            else:           # torch layout [Cout,Cin,kh,kw] -> HWIO
+                k = m.reshape(cout, cin, kh, kw).transpose(2, 3, 1, 0)
+            return (gain * k).astype(dtype)
+    else:
+        # init_weights raises for unknown init methods (networks.py:66-67)
+        raise NotImplementedError(
+            f"initialization method [{init_type}] is not implemented")
+    return init
+
+
 def conv2d(x: jnp.ndarray, kernel: jnp.ndarray, bias: Optional[jnp.ndarray],
            stride: int = 1, padding: int = 0, dilation: int = 1) -> jnp.ndarray:
     """PyTorch-geometry Conv2d.  x: [N,H,W,Cin], kernel: [kh,kw,Cin,Cout]."""
@@ -358,6 +417,7 @@ class TorchConv(nn.Module):
     dilation: int = 1
     use_bias: bool = True
     init_gain: float = 0.02
+    init_type: str = "normal"
 
     @nn.compact
     def __call__(self, x):
@@ -365,7 +425,7 @@ class TorchConv(nn.Module):
         # cfg.dtype='bfloat16' casts activations at the forward boundary).
         cin = x.shape[-1]
         kernel = self.param(
-            "kernel", normal_init(self.init_gain),
+            "kernel", make_init(self.init_type, self.init_gain),
             (self.kernel_size, self.kernel_size, cin, self.features))
         bias = (self.param("bias", nn.initializers.zeros, (self.features,))
                 if self.use_bias else None)
@@ -381,12 +441,14 @@ class TorchConvTranspose(nn.Module):
     padding: int = 0
     use_bias: bool = True
     init_gain: float = 0.02
+    init_type: str = "normal"
 
     @nn.compact
     def __call__(self, x):
         cin = x.shape[-1]
         kernel = self.param(
-            "kernel", normal_init(self.init_gain),
+            "kernel", make_init(self.init_type, self.init_gain,
+                                transposed=True),
             (self.kernel_size, self.kernel_size, cin, self.features))
         bias = (self.param("bias", nn.initializers.zeros, (self.features,))
                 if self.use_bias else None)

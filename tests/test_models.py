@@ -130,7 +130,7 @@ def test_unsupported_norm_and_init_type_raise():
     with pytest.raises(NotImplementedError, match="normalization layer"):
         build_models(tiny.replace(norm="batch"))
     with pytest.raises(NotImplementedError, match="initialization method"):
-        build_models(tiny.replace(init_type="xavier"))
+        build_models(tiny.replace(init_type="uniform"))
 
 
 def test_init_gain_scales_conv_init(rng):
@@ -154,3 +154,53 @@ def test_init_gain_scales_conv_init(rng):
                                        5.0 * np.asarray(v), rtol=1e-6)
             checked += 1
         assert checked > 0, f"no conv kernels found in net{net}"
+
+
+# ---------------------------------------------------------------------------
+# init_weights variants (networks.py:49-70): per-type parameter statistics
+# ---------------------------------------------------------------------------
+
+def test_init_type_statistics(rng):
+    # Kernel-stat parity with torch init semantics (networks.py:53-60):
+    # xavier_normal std = gain*sqrt(2/(fan_in+fan_out)); kaiming_normal
+    # (a=0, fan_in, default leaky_relu) std = sqrt(2/fan_in); torch fans
+    # are fan_in = weight.size(1)*kh*kw.
+    from deepinpainting_tpu.ops.convs import TorchConv, TorchConvTranspose
+    x = jnp.zeros((1, 16, 16, 32))
+    conv = lambda it: TorchConv(64, 4, stride=2, padding=1, init_type=it)
+    k = lambda it: np.asarray(
+        conv(it).init(rng, x)["params"]["kernel"])  # [4,4,32,64]
+    fan_in, fan_out = 32 * 16, 64 * 16
+
+    kn = k("normal")
+    np.testing.assert_allclose(kn.std(), 0.02, rtol=0.05)
+    kx = k("xavier")
+    np.testing.assert_allclose(
+        kx.std(), 0.02 * np.sqrt(2.0 / (fan_in + fan_out)), rtol=0.05)
+    kk = k("kaiming")
+    np.testing.assert_allclose(kk.std(), np.sqrt(2.0 / fan_in), rtol=0.05)
+
+    # orthogonal: torch flattens to [size(0)=Cout, Cin*kh*kw] and makes the
+    # rows orthonormal, scaled by gain (networks.py:59-60).
+    ko = k("orthogonal")  # HWIO [4,4,32,64]
+    m = ko.transpose(3, 2, 0, 1).reshape(64, 32 * 16)  # torch [Cout, rest]
+    np.testing.assert_allclose(m @ m.T, 0.02 ** 2 * np.eye(64), atol=1e-6)
+
+    # transposed conv uses torch's ConvTranspose2d fan (weight
+    # [Cin,Cout,kh,kw] -> fan_in = Cout*kh*kw)
+    deconv = TorchConvTranspose(64, 4, stride=2, padding=1,
+                                init_type="kaiming")
+    kt = np.asarray(deconv.init(rng, x)["params"]["kernel"])
+    np.testing.assert_allclose(kt.std(), np.sqrt(2.0 / (64 * 16)), rtol=0.05)
+
+
+def test_init_type_builds_and_inits(rng):
+    # build_models accepts every reference init variant and init_params
+    # produces finite params (the init_net path, networks.py:73-78).
+    from deepinpainting_tpu.config import Config
+    from deepinpainting_tpu.engine.inpaint import init_params
+    tiny = Config(fine_size=32, ngf=8, ndf=8, vgg_width_scale=1 / 8)
+    for it in ("xavier", "kaiming", "orthogonal"):
+        params = init_params(tiny.replace(init_type=it), rng)
+        assert all(np.isfinite(np.asarray(x)).all()
+                   for x in jax.tree_util.tree_leaves(params))
