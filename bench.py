@@ -26,6 +26,12 @@ Extra keys (BASELINE.json's metric names p50 latency; VERDICT r1 #2):
   stalled_repeats       — repeats discarded as physically impossible
                           (negative differenced time: a stall hit the
                           short window)
+  unstable              — present (true) ONLY when no measurement window
+                          reached the 5% core-spread target within the
+                          BENCH_QUALIFY_MIN wall-clock budget; the value
+                          is then the best (lowest-core-spread) window's
+                          median, explicitly flagged rather than silently
+                          published (VERDICT r3 weak #1)
 
 Timing method: the axon TPU tunnel makes per-call block_until_ready
 unreliable and adds a ~32 ms fixed overhead per host->device call, so we
@@ -102,6 +108,89 @@ def _core_spread(s):
     return (mid[-1] - mid[0]) / s[len(s) // 2]
 
 
+def _collect_qualified(measure_once, repeats, max_repeats, qualify_min,
+                       label="", settle_s=30.0, _now=time.time,
+                       _sleep=time.sleep):
+    """Self-qualifying sample collection (VERDICT r3: BENCH_r03 published a
+    91.5% core spread — the record must qualify itself or say it didn't).
+
+    Calls `measure_once()` for per-iter estimates.  Estimates <= 0 are
+    physically impossible (a tunnel stall landed inside the SHORT
+    differencing window) and are discarded, counted as stalls; this
+    censoring is asymmetric — long-window stalls (inflated estimates)
+    survive — so stall-heavy days bias the median mildly UPWARD in
+    ms/iter (throughput understated, never flattered).  A window escalates
+    from `repeats` to `max_repeats` estimates while its core spread
+    exceeds 5%; a window still failing at `max_repeats` is DISCARDED and
+    a fresh window starts after a `settle_s` pause, until one qualifies
+    or the `qualify_min` wall-clock budget expires — then the best
+    (lowest-core-spread) discarded window is returned flagged unstable.
+
+    Returns (sorted per-iter estimates, total stalls, unstable: bool).
+    `_now`/`_sleep` are injectable for tests."""
+    deadline = _now() + qualify_min * 60
+    best_s, best_core = None, float("inf")
+    window, total_stalls = 0, 0
+    while True:
+        window += 1
+        per_iter, stalls = [], 0
+        while True:
+            est = measure_once()
+            if est <= 0:
+                stalls += 1
+                total_stalls += 1
+                print(f"[bench] discarded impossible estimate "
+                      f"{est * 1e3:.2f} ms/iter (short-window stall "
+                      f"#{stalls})", file=sys.stderr)
+                if stalls >= 2 * max_repeats:
+                    raise RuntimeError(
+                        f"bench: {stalls} impossible per-iter estimates at "
+                        f"{label} — tunnel too unstable for a valid "
+                        "record; rerun when the backend settles")
+                continue
+            per_iter.append(est)
+            if len(per_iter) < repeats:
+                continue
+            s = sorted(per_iter)
+            if _core_spread(s) <= 0.05:
+                return s, total_stalls, False
+            if len(per_iter) >= max_repeats:
+                break
+            if len(per_iter) == repeats:
+                print(f"[bench] core spread {_core_spread(s) * 100:.1f}% "
+                      f"> 5% after {repeats} repeats — escalating to "
+                      f"{max_repeats}", file=sys.stderr)
+        core = _core_spread(s)
+        if core < best_core:
+            best_s, best_core = s, core
+        remaining = deadline - _now()
+        if remaining <= 0:
+            print(f"[bench] qualify budget ({qualify_min:.0f} min) "
+                  f"exhausted after {window} windows at {label}; "
+                  f"publishing best window (core {best_core * 100:.1f}%) "
+                  f"flagged UNSTABLE", file=sys.stderr)
+            return best_s, total_stalls, True
+        print(f"[bench] window {window} core spread {core * 100:.1f}% "
+              f"> 5% at {max_repeats} repeats — discarding window, "
+              f"re-measuring ({remaining / 60:.1f} min budget left)",
+              file=sys.stderr)
+        _sleep(min(settle_s, remaining))
+
+
+def _assign_winner_stats(out, spread, core, stalls, unstable):
+    """(Re)assign ALL winner-qualification stats together, clearing any
+    previous winner's, so a losing batch's stall count or instability flag
+    can't be misattributed to the final winner (ADVICE r3)."""
+    out["spread_pct"] = round(spread, 2)
+    out["spread_core_pct"] = round(core, 2)
+    out.pop("stalled_repeats", None)
+    out.pop("unstable", None)
+    if stalls:
+        out["stalled_repeats"] = stalls
+    if unstable:
+        out["unstable"] = True
+
+
 def measure_ours(batch_sizes=(32,), size=256, iters=64,
                  repeats=None, with_b1=True):
     # One throughput batch size by default: each jit variant costs ~4 min of
@@ -155,79 +244,56 @@ def measure_ours(batch_sizes=(32,), size=256, iters=64,
         (short, long) pairs -> sorted per-iter estimates.  On a noisy
         tunnel day single multi-hundred-ms stalls blow the raw
         (max-min)/median spread past the methodology's ~1.5% even while
-        the median holds (BENCH_r02: 16.6%; 2026-08-18 probe log: >100%),
-        so two defenses: estimates <= 0 — physically impossible, meaning
-        a stall landed inside the SHORT window — are discarded as known
-        measurement failures (counted in `stalled_repeats`), and repeats
-        escalate to BENCH_MAX_REPEATS (default 13) while the *core*
-        spread (middle half of the sorted sample, `_core_spread`)
-        exceeds 5%.  The median of the final sample is the artifact of
-        record; both raw and core spread are reported."""
+        the median holds (BENCH_r02: 16.6%; 2026-08-18 probe log: >100%);
+        the stall/escalation/self-qualification defenses — incl. the
+        BENCH_QUALIFY_MIN window budget and the unstable flag — live in
+        `_collect_qualified` (see its docstring).
+
+        Returns (sorted per-iter estimates, total stalls, unstable)."""
         img, mask, _ = _example(b, size)
         gt, mk = jnp.asarray(img), jnp.asarray(mask)
         n_small = max(2, n // 8)
         max_repeats = int(os.environ.get("BENCH_MAX_REPEATS", "13"))
+        qualify_min = float(os.environ.get("BENCH_QUALIFY_MIN", "15"))
         np.asarray(chained(p3, mk, gt, n))  # compile + warm
-        per_iter, stalls = [], 0
-        while True:
+
+        def once():
             t0 = time.time()
             np.asarray(chained(p3, mk, gt, n_small))
             t1 = time.time()
             np.asarray(chained(p3, mk, gt, n_small + n))
             t2 = time.time()
-            est = ((t2 - t1) - (t1 - t0)) / n
-            if est <= 0:
-                # Physically impossible — a stall landed inside the SHORT
-                # window.  NEVER let these into the sample (a negative
-                # median would make the artifact of record garbage); if the
-                # tunnel is so unstable we can't collect a sample, fail
-                # loudly instead of publishing.
-                stalls += 1
-                print(f"[bench] discarded impossible estimate "
-                      f"{est * 1e3:.2f} ms/iter (short-window stall "
-                      f"#{stalls})", file=sys.stderr)
-                if stalls >= 2 * max_repeats:
-                    raise RuntimeError(
-                        f"bench: {stalls} impossible per-iter estimates at "
-                        f"batch {b} — tunnel too unstable for a valid "
-                        "record; rerun when the backend settles")
-                continue
-            per_iter.append(est)
-            if len(per_iter) < repeats:
-                continue
-            s = sorted(per_iter)
-            if _core_spread(s) <= 0.05 or len(per_iter) >= max_repeats:
-                return s, stalls
-            if len(per_iter) == repeats:
-                print(f"[bench] core spread {_core_spread(s) * 100:.1f}% "
-                      f"> 5% after {repeats} repeats — escalating to "
-                      f"{max_repeats}", file=sys.stderr)
+            return ((t2 - t1) - (t1 - t0)) / n
+
+        return _collect_qualified(once, repeats, max_repeats, qualify_min,
+                                  label=f"batch {b} ({size}px)")
 
     out = {}
     best, best_b = 0.0, batch_sizes[0]
     for b in batch_sizes:
-        ts, stalls = _timed(b, iters)
+        ts, stalls, unstable = _timed(b, iters)
         med = ts[len(ts) // 2]
         ips = b / med
         spread = (ts[-1] - ts[0]) / med * 100.0
         core = _core_spread(ts) * 100.0
         print(f"[bench] ours batch={b}: {ips:.1f} img/s "
               f"({med * 1000:.2f} ms/iter, {len(ts)} repeats, "
-              f"spread {spread:.1f}% core {core:.1f}%)", file=sys.stderr)
+              f"spread {spread:.1f}% core {core:.1f}%"
+              f"{', UNSTABLE' if unstable else ''})", file=sys.stderr)
         out[f"p50_ms_per_image_b{b}"] = round(med * 1000 / b, 3)
         if ips > best:
             best, best_b = ips, b
-            out["spread_pct"] = round(spread, 2)  # spread of the winner
-            out["spread_core_pct"] = round(core, 2)
-            if stalls:
-                out["stalled_repeats"] = stalls
+            _assign_winner_stats(out, spread, core, stalls, unstable)
 
     if with_b1 and 1 not in batch_sizes:
         try:
-            ts1, _ = _timed(1, iters)
+            ts1, _, unstable1 = _timed(1, iters)
             out["p50_ms_per_image_b1"] = round(ts1[len(ts1) // 2] * 1000, 3)
+            if unstable1:
+                out["unstable_b1"] = True
             print(f"[bench] batch-1 p50 latency: "
-                  f"{out['p50_ms_per_image_b1']:.2f} ms/img", file=sys.stderr)
+                  f"{out['p50_ms_per_image_b1']:.2f} ms/img"
+                  f"{' (UNSTABLE)' if unstable1 else ''}", file=sys.stderr)
         except Exception as e:  # pragma: no cover
             print(f"[bench] batch-1 latency failed: {e}", file=sys.stderr)
             out["p50_ms_per_image_b1"] = None
