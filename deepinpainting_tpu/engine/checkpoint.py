@@ -30,12 +30,18 @@ class CheckpointManager:
         directory = directory or os.path.join(cfg.checkpoints_dir, cfg.name)
         self.directory = os.path.abspath(directory)
         os.makedirs(self.directory, exist_ok=True)
-        # config.json is written with the FIRST checkpoint save, not here:
-        # restore-only managers (dip-evaluate / dip-serve / dip-export) must
-        # not clobber a training run's recorded config with their transient
+        # Training managers record config.json at construction so a run
+        # that crashes before its first epoch save still leaves its config
+        # for post-mortem reproduction (ADVICE r3).  Restore-only managers
+        # (dip-evaluate / dip-serve / dip-export, is_train=False) defer to
+        # the first save — which never happens for them — so they can't
+        # clobber a training run's recorded config with their transient
         # CLI overrides (--quant / --batch_size / --vgg_weights / is_train).
         self._cfg = cfg
         self._config_written = False
+        if cfg.is_train:
+            cfg.save(os.path.join(self.directory, "config.json"))
+            self._config_written = True
         # async_save: orbax's save copies device->host synchronously (so
         # later donated-buffer reuse by the next train step is safe) and
         # only the serialization/disk write proceeds in the background;

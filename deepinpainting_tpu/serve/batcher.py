@@ -84,18 +84,29 @@ class MicroBatcher:
             raise p.error
         return p.result
 
-    def close(self):
+    def close(self, timeout: Optional[float] = None):
         """Idempotent.  Blocks until the worker has finished every item
-        enqueued before the close (in-flight device call included)."""
+        enqueued before the close (in-flight device call included), but at
+        most `timeout` seconds (default: DIP_BATCH_TIMEOUT, the same bound
+        a submit() caller gets) — a device call hung on a tunnel outage
+        must not hang server shutdown forever (ADVICE r3).  On timeout the
+        queue is drained and stragglers failed; the daemon worker can't
+        block process exit either way."""
+        if timeout is None:
+            timeout = float(os.environ.get("DIP_BATCH_TIMEOUT", "1800"))
         with self._submit_lock:
             if self._closed:
                 return
             self._closed = True
             self._q.put(None)  # wake the worker; FIFO => behind all items
-        self._worker.join()
-        # Defensive: nothing can be queued past the sentinel (enqueue and
-        # close are serialized above), but fail any straggler rather than
-        # leaving a caller blocked for its full timeout.
+        self._worker.join(timeout)
+        if self._worker.is_alive():  # pragma: no cover - needs a hung call
+            print(f"[batcher] worker still busy after {timeout}s close "
+                  "wait (hung device call?); abandoning it", flush=True)
+        # Fail any straggler rather than leaving a caller blocked for its
+        # full timeout: normally empty (enqueue and close are serialized
+        # above so nothing queues past the sentinel), non-empty only when
+        # the join above timed out with items still queued.
         while True:
             try:
                 p = self._q.get_nowait()

@@ -212,14 +212,16 @@ def test_checkpoint_roundtrip_and_resume(tmp_path):
 
 def test_restore_only_manager_does_not_clobber_config(tmp_path):
     """A restore-only CheckpointManager (the dip-evaluate / dip-serve /
-    dip-export path) must not rewrite the training run's config.json with
-    its transient CLI overrides (checkpoint.py: config is written with the
-    first SAVE only)."""
+    dip-export path, is_train=False) must not rewrite the training run's
+    config.json with its transient CLI overrides; a TRAINING manager
+    records its config already at construction so a crash before the first
+    epoch save still leaves the config for post-mortems (ADVICE r3)."""
     cfg = TINY.replace(checkpoints_dir=str(tmp_path))
     state = create_state(cfg, jax.random.PRNGKey(0))
     mgr = CheckpointManager(cfg)
     cfg_path = os.path.join(mgr.directory, "config.json")
-    assert not os.path.exists(cfg_path)  # nothing saved yet
+    # training manager: config recorded at construction, before any save
+    assert os.path.exists(cfg_path)
     mgr.save(1, state)
     assert Config.load(cfg_path).quant == "none"
     mgr.close()
