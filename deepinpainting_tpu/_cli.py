@@ -137,6 +137,11 @@ def export(argv=None):
                     help="override the checkpoint config's attention impl "
                          "(pallas embeds a TPU custom call; use lax for "
                          "CPU-portable artifacts — export_model.py)")
+    ap.add_argument("--batches", default="",
+                    help="comma-separated batch sizes to export as a fixed "
+                         "set, e.g. '1,8' (default: a symbolic batch "
+                         "dimension, one graph for any batch, falling back "
+                         "to 1,8 when the graph can't lower symbolically)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args(argv)
 
@@ -171,7 +176,9 @@ def export(argv=None):
         state = mgr.restore(epoch, state)
         mgr.close()
     platforms = [p for p in args.platforms.split(",") if p] or None
-    out = export_serving(cfg, state, args.out, platforms=platforms)
+    batches = [int(b) for b in args.batches.split(",") if b] or None
+    out = export_serving(cfg, state, args.out, platforms=platforms,
+                         batch_sizes=batches)
     print(f"exported serving artifact -> {out}")
 
 
@@ -218,14 +225,21 @@ def serve(argv=None):
         import jax
         jax.config.update("jax_platforms", "cpu")
 
-    if args.from_export and (args.quant or args.sp or args.max_batch > 1
+    if args.from_export and (args.quant or args.sp
                              or args.which_epoch is not None
                              or args.random_weights):
-        # the artifact is a fixed pre-traced batch-1 graph; these knobs
-        # must be chosen at `dip-export` time (see InferenceSession.
-        # from_export) — silently ignoring them would mislead operators
+        # the artifact is a pre-traced graph; these knobs must be chosen
+        # at `dip-export` time (see InferenceSession.from_export) —
+        # silently ignoring them would mislead operators.  This includes
+        # the explicit `--quant none` (deliberate, ADVICE r3): on an
+        # artifact exported WITH int8 it would be a real trace-time
+        # override we cannot honor, so every explicit value is rejected
+        # uniformly rather than special-casing the one that happens to
+        # match a float export.  --max_batch IS allowed: artifacts are
+        # batch-polymorphic (export_model.py), so request coalescing
+        # works on the exported graph too.
         ap.error("--from_export serves the artifact exactly as exported; "
-                 "it cannot be combined with --quant/--sp/--max_batch/"
+                 "it cannot be combined with --quant/--sp/"
                  "--which_epoch/--random_weights (re-export with the "
                  "wanted options instead)")
 

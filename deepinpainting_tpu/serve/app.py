@@ -111,14 +111,17 @@ class InferenceSession:
             self._batcher = MicroBatcher(batched, max_batch, batch_wait_ms)
 
     @classmethod
-    def from_export(cls, artifact_dir: str) -> "InferenceSession":
+    def from_export(cls, artifact_dir: str, *, max_batch: int = 1,
+                    batch_wait_ms: float = 2.0) -> "InferenceSession":
         """Serve a pre-exported AOT artifact (engine/export_model.py).
 
         The graph comes from serialized StableHLO — no model construction
-        and no tracing happen in the serving process.  The artifact is a
-        fixed batch-1 graph, so request coalescing (--max_batch) and
-        spatial partitioning (--sp) do not apply here; export with the
-        wanted sharding/batch instead.
+        and no tracing happen in the serving process.  Artifacts are
+        batch-polymorphic (symbolic batch dim, or a fixed exported set
+        with pad-and-chunk dispatch — see export_model.py), so request
+        coalescing (--max_batch) works exactly as in a live session.
+        Spatial partitioning (--sp) remains export-time-only: shardings
+        are part of the traced graph.
         """
         from ..engine.export_model import load_serving
         loaded = load_serving(artifact_dir)
@@ -128,6 +131,16 @@ class InferenceSession:
         sess._infer = loaded.call
         sess._lock = threading.Lock()
         sess._batcher = None
+        if max_batch > 1:
+            from .batcher import MicroBatcher
+
+            def batched(stacked):
+                u8 = loaded.call(
+                    loaded.params_G, loaded.params_P, loaded.vgg,
+                    stacked["image"], stacked["mask"], stacked["ref"])
+                return np.asarray(u8)
+
+            sess._batcher = MicroBatcher(batched, max_batch, batch_wait_ms)
         return sess
 
     def warmup(self) -> None:
@@ -278,7 +291,9 @@ def make_app(cfg: Config, which_epoch: Optional[int] = None,
              batch_wait_ms: float = 2.0, sp: bool = False,
              from_export: Optional[str] = None) -> InpaintApp:
     if from_export:
-        session = InferenceSession.from_export(from_export)
+        session = InferenceSession.from_export(from_export,
+                                               max_batch=max_batch,
+                                               batch_wait_ms=batch_wait_ms)
         cfg = session.cfg
     else:
         session = InferenceSession(cfg, which_epoch, state=state,
