@@ -21,7 +21,8 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from ..ops.convs import (InstanceNorm, TorchConv, TorchConvTranspose,
-                         bilinear_resize, leaky_relu)
+                         bilinear_resize, constrain_unshardable_spatial,
+                         leaky_relu)
 
 
 class UnetSkipBlock(nn.Module):
@@ -48,6 +49,9 @@ class UnetSkipBlock(nn.Module):
             y = leaky_relu(y, 0.2)
         y = TorchConv(self.inner_nc, 4, stride=2, padding=1, name="down_conv",
                       init_gain=self.init_gain, init_type=self.init_type)(y)
+        # under SP, pin bottleneck-small heights to an explicit sharding so
+        # GSPMD doesn't warn about involuntary resharding (no-op otherwise)
+        y = constrain_unshardable_spatial(y)
         if not (self.outermost or self.innermost):
             y = InstanceNorm(name="down_norm")(y)
 
@@ -60,6 +64,7 @@ class UnetSkipBlock(nn.Module):
         y = TorchConvTranspose(self.outer_nc, 4, stride=2, padding=1,
                                name="up_conv", init_gain=self.init_gain,
                                init_type=self.init_type)(y)
+        y = constrain_unshardable_spatial(y)
         if self.outermost:
             return jnp.tanh(y)
         y = InstanceNorm(name="up_norm")(y)

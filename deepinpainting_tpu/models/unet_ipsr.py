@@ -37,7 +37,8 @@ import jax.numpy as jnp
 
 from ..ops.attention import ipsr_attention_batched
 from ..ops.convs import (InstanceNorm, TorchConv, TorchConvTranspose,
-                         bilinear_resize, leaky_relu)
+                         bilinear_resize, constrain_unshardable_spatial,
+                         leaky_relu)
 
 
 class UnetBlock3(nn.Module):
@@ -80,6 +81,9 @@ class UnetBlock3(nn.Module):
             y = TorchConv(input_nc, 4, stride=2, padding=3, dilation=2,
                           name="down_dilconv", init_gain=self.init_gain,
                           init_type=self.init_type)(y)
+            # under SP, pin bottleneck-small heights to an explicit
+            # sharding so GSPMD doesn't warn about involuntary resharding
+            y = constrain_unshardable_spatial(y)
             if not self.innermost:
                 y = InstanceNorm(name="down_norm")(y)
                 y = leaky_relu(y, 0.2)
@@ -116,6 +120,7 @@ class UnetBlock3(nn.Module):
                                    name="up_conv",
                                    init_gain=self.init_gain,
                           init_type=self.init_type)(y)
+            y = constrain_unshardable_spatial(y)
             y = InstanceNorm(name="up_norm")(y)
         else:
             if self.with_attention:
@@ -133,6 +138,7 @@ class UnetBlock3(nn.Module):
                                    name="up_conv",
                                    init_gain=self.init_gain,
                           init_type=self.init_type)(y)
+            y = constrain_unshardable_spatial(y)
             y = InstanceNorm(name="up_norm")(y)
         if self.use_dropout:
             y = nn.Dropout(0.5, deterministic=not train)(y)

@@ -43,6 +43,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import Config
 from .. import engine as E
+from ..ops.convs import sp_hint_mode
 from .mesh import replicated
 
 
@@ -87,7 +88,15 @@ def make_sp_inference_fn(cfg: Config, mesh: Mesh, axis: str = "sp"):
     infer = E.make_inference_fn(cfg)
     rep = replicated(mesh)
     sp = spatial_sharding(mesh, axis)
-    return jax.jit(infer,
+
+    def hinted(*args):
+        # sp_hint_mode is live whenever XLA traces the body, so the U-Net
+        # blocks pin their unshardable-height bottleneck activations to an
+        # explicit sharding instead of GSPMD's warned involuntary reshard.
+        with sp_hint_mode(mesh, axis):
+            return infer(*args)
+
+    return jax.jit(hinted,
                    in_shardings=(rep, rep, rep, sp, sp, sp),
                    out_shardings=(sp, sp))
 
@@ -104,8 +113,13 @@ def make_dp_sp_train_step(cfg: Config, mesh: Mesh,
     step = E.make_train_step(cfg)
     rep = replicated(mesh)
     bsh = spatial_sharding(mesh, sp_axis, data_axis)
+
+    def hinted(*args):
+        with sp_hint_mode(mesh, sp_axis, data_axis):
+            return step(*args)
+
     return jax.jit(
-        step,
+        hinted,
         in_shardings=(rep, {"image": bsh, "mask": bsh, "ref": bsh}, rep),
         out_shardings=(rep, rep),
         donate_argnums=(0,),
@@ -118,8 +132,13 @@ def make_dp_sp_eval_step(cfg: Config, mesh: Mesh,
     step = E.make_eval_step(cfg)
     rep = replicated(mesh)
     bsh = spatial_sharding(mesh, sp_axis, data_axis)
+
+    def hinted(*args):
+        with sp_hint_mode(mesh, sp_axis, data_axis):
+            return step(*args)
+
     return jax.jit(
-        step,
+        hinted,
         in_shardings=(rep, {"image": bsh, "mask": bsh, "ref": bsh}),
     )
 
