@@ -26,12 +26,18 @@ Extra keys (BASELINE.json's metric names p50 latency; VERDICT r1 #2):
   stalled_repeats       — repeats discarded as physically impossible
                           (negative differenced time: a stall hit the
                           short window)
-  unstable              — present (true) ONLY when no measurement window
-                          reached the 5% core-spread target within the
-                          BENCH_QUALIFY_MIN wall-clock budget; the value
-                          is then the best (lowest-core-spread) window's
-                          median, explicitly flagged rather than silently
-                          published (VERDICT r3 weak #1)
+  unstable              — present (true) ONLY when the WINNING batch's
+                          measurement never reached the 5% core-spread
+                          target within the BENCH_QUALIFY_MIN wall-clock
+                          budget; the value is then the best
+                          (lowest-core-spread) window's median, explicitly
+                          flagged rather than silently published
+                          (VERDICT r3 weak #1)
+  unstable_b{B} / unstable_b1
+                        — same flag for a specific batch size's
+                          p50_ms_per_image_b{B} entry (incl. losing
+                          batches of a sweep and the batch-1 latency),
+                          so no unqualified median is published unmarked
 
 Timing method: the axon TPU tunnel makes per-call block_until_ready
 unreliable and adds a ~32 ms fixed overhead per host->device call, so we
@@ -281,6 +287,10 @@ def measure_ours(batch_sizes=(32,), size=256, iters=64,
               f"spread {spread:.1f}% core {core:.1f}%"
               f"{', UNSTABLE' if unstable else ''})", file=sys.stderr)
         out[f"p50_ms_per_image_b{b}"] = round(med * 1000 / b, 3)
+        if unstable:
+            # per-batch flag: even a LOSING batch's published p50 must not
+            # be a silent unqualified median
+            out[f"unstable_b{b}"] = True
         if ips > best:
             best, best_b = ips, b
             _assign_winner_stats(out, spread, core, stalls, unstable)

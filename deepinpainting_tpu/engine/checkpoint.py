@@ -32,15 +32,19 @@ class CheckpointManager:
         os.makedirs(self.directory, exist_ok=True)
         # Training managers record config.json at construction so a run
         # that crashes before its first epoch save still leaves its config
-        # for post-mortem reproduction (ADVICE r3).  Restore-only managers
-        # (dip-evaluate / dip-serve / dip-export, is_train=False) defer to
-        # the first save — which never happens for them — so they can't
-        # clobber a training run's recorded config with their transient
-        # CLI overrides (--quant / --batch_size / --vgg_weights / is_train).
+        # for post-mortem reproduction (ADVICE r3) — but only when none
+        # exists yet: a RESUME constructs the manager before the restore is
+        # validated, and writing then would destroy the original run's
+        # recorded config on a failed resume (typo'd epoch, wrong --ngf).
+        # The first successful save still records what actually ran.
+        # Restore-only managers (dip-evaluate / dip-serve / dip-export,
+        # is_train=False) never write at all, so they can't clobber a
+        # training run's config with their transient CLI overrides.
         self._cfg = cfg
         self._config_written = False
-        if cfg.is_train:
-            cfg.save(os.path.join(self.directory, "config.json"))
+        cfg_path = os.path.join(self.directory, "config.json")
+        if cfg.is_train and not os.path.exists(cfg_path):
+            cfg.save(cfg_path)
             self._config_written = True
         # async_save: orbax's save copies device->host synchronously (so
         # later donated-buffer reuse by the next train step is safe) and

@@ -97,18 +97,24 @@ def export_serving(cfg: Config, state, out_dir: str,
     meta = {"format": 2}
 
     if batch_sizes is None:
+        exported = None
         try:
             b, = jax.export.symbolic_shape("b")
             exported = jax.export.export(fn, platforms=platforms)(
                 *_arg_structs(cfg, state, b))
-            with open(os.path.join(out_dir, FN_FILE), "wb") as f:
-                f.write(exported.serialize())
-            meta["batch"] = "symbolic"
         except Exception as e:
+            # ONLY the lowering itself may fall back (pallas custom calls
+            # bake their grid); serialize/write errors below must propagate
+            # — swallowing an OSError here would leave a truncated
+            # artifact and waste two more exports against a failing disk
             print(f"[export] symbolic-batch lowering unavailable for this "
                   f"graph ({type(e).__name__}); exporting fixed batch set "
                   f"{list(FALLBACK_BATCHES)} instead: {str(e)[:200]}")
             batch_sizes = FALLBACK_BATCHES
+        if exported is not None:
+            with open(os.path.join(out_dir, FN_FILE), "wb") as f:
+                f.write(exported.serialize())
+            meta["batch"] = "symbolic"
 
     if batch_sizes is not None:
         sizes = sorted({int(n) for n in batch_sizes})
@@ -165,6 +171,8 @@ def _make_fixed_dispatch(calls):
 
     def call(params_G, params_P, vgg, image, mask, ref):
         n = int(np.asarray(image).shape[0])
+        if n == 0:
+            raise ValueError("empty batch: image has leading dimension 0")
         image, mask, ref = (np.asarray(x) for x in (image, mask, ref))
         outs = []
         i = 0

@@ -87,9 +87,19 @@ class InferenceSession:
             # per in_shardings by the jit call itself; the uint8 result
             # gathers on fetch.
             from .. import parallel as PP
+            from ..ops.convs import sp_hint_mode
             mesh = PP.make_sp_mesh()
             rep, spd = PP.replicated(mesh), PP.spatial_sharding(mesh)
-            self._infer = jax.jit(_infer_u8,
+
+            def hinted(*args):
+                # live whenever XLA traces the body: the U-Net blocks pin
+                # unshardable bottleneck heights to an explicit sharding
+                # instead of GSPMD's warned involuntary reshard (same as
+                # the parallel/spatial.py builders)
+                with sp_hint_mode(mesh, "sp"):
+                    return _infer_u8(*args)
+
+            self._infer = jax.jit(hinted,
                                   in_shardings=(rep, rep, rep, spd, spd, spd),
                                   out_shardings=spd)
         else:
@@ -98,17 +108,7 @@ class InferenceSession:
         # max_batch > 1: coalesce concurrent requests into one device call
         # (serve/batcher.py) — b1 is ~2.5 ms/img on-device but b8 is
         # ~1.2 ms/img, so batching ~2x's loaded serving throughput.
-        self._batcher = None
-        if max_batch > 1:
-            from .batcher import MicroBatcher
-
-            def batched(stacked):
-                u8 = self._infer(
-                    self.state.params_G, self.state.params_P, self.state.vgg,
-                    stacked["image"], stacked["mask"], stacked["ref"])
-                return np.asarray(u8)
-
-            self._batcher = MicroBatcher(batched, max_batch, batch_wait_ms)
+        self._batcher = self._make_batcher(max_batch, batch_wait_ms)
 
     @classmethod
     def from_export(cls, artifact_dir: str, *, max_batch: int = 1,
@@ -130,18 +130,23 @@ class InferenceSession:
         sess.state = loaded  # duck-types params_G / params_P / vgg
         sess._infer = loaded.call
         sess._lock = threading.Lock()
-        sess._batcher = None
-        if max_batch > 1:
-            from .batcher import MicroBatcher
-
-            def batched(stacked):
-                u8 = loaded.call(
-                    loaded.params_G, loaded.params_P, loaded.vgg,
-                    stacked["image"], stacked["mask"], stacked["ref"])
-                return np.asarray(u8)
-
-            sess._batcher = MicroBatcher(batched, max_batch, batch_wait_ms)
+        sess._batcher = sess._make_batcher(max_batch, batch_wait_ms)
         return sess
+
+    def _make_batcher(self, max_batch: int, batch_wait_ms: float):
+        """Shared by __init__ and from_export: both set .state (or a
+        duck-typed artifact namespace) and ._infer before calling."""
+        if max_batch <= 1:
+            return None
+        from .batcher import MicroBatcher
+
+        def batched(stacked):
+            u8 = self._infer(
+                self.state.params_G, self.state.params_P, self.state.vgg,
+                stacked["image"], stacked["mask"], stacked["ref"])
+            return np.asarray(u8)
+
+        return MicroBatcher(batched, max_batch, batch_wait_ms)
 
     def warmup(self) -> None:
         # uint8, matching run_bytes' transport, so the first real request

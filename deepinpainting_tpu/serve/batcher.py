@@ -100,7 +100,8 @@ class MicroBatcher:
             self._closed = True
             self._q.put(None)  # wake the worker; FIFO => behind all items
         self._worker.join(timeout)
-        if self._worker.is_alive():  # pragma: no cover - needs a hung call
+        timed_out = self._worker.is_alive()
+        if timed_out:  # pragma: no cover - needs a hung call
             print(f"[batcher] worker still busy after {timeout}s close "
                   "wait (hung device call?); abandoning it", flush=True)
         # Fail any straggler rather than leaving a caller blocked for its
@@ -115,6 +116,11 @@ class MicroBatcher:
             if p is not None:
                 p.error = RuntimeError("batcher is closed")
                 p.event.set()
+        if timed_out:  # pragma: no cover - needs a hung call
+            # the drain above may have consumed the shutdown sentinel; re-arm
+            # it so the abandoned worker exits (instead of parking forever in
+            # q.get()) if its hung device call ever returns
+            self._q.put(None)
 
     # -- worker side ---------------------------------------------------------
     def _collect(self) -> Optional[List[_Pending]]:

@@ -174,10 +174,22 @@ def main():
         # <=0 censoring (long-window hits) inflate the median badly
         # (observed: a 2 ms/iter deconv reading 189 ms/iter).  The trip
         # count is a dynamic argument — rescaling costs no recompile.
-        t1 = time.time()
-        np.asarray(chained(x, w, args.iters))
-        rough = max((time.time() - t1) / args.iters, 1e-5)
-        n = int(min(max(2.0 / rough, args.iters), 4096))
+        # Calibrate by DIFFERENCING two trip counts so the ~32 ms fixed
+        # per-call tunnel overhead doesn't inflate `rough` (undifferenced,
+        # a 20 us/iter op reads ~520 us/iter and the window stays
+        # stall-sized); retry while a stall makes the difference negative.
+        rough = 0.0
+        for _ in range(8):
+            t1 = time.time()
+            np.asarray(chained(x, w, args.iters))
+            t2 = time.time()
+            np.asarray(chained(x, w, 3 * args.iters))
+            t3 = time.time()
+            rough = ((t3 - t2) - (t2 - t1)) / (2 * args.iters)
+            if rough > 0:
+                break
+        rough = max(rough, 1e-6)
+        n = int(min(max(2.0 / rough, args.iters), 65536))
         ns = max(2, n // 8)
         per, stalls = [], 0
         while len(per) < args.repeats:

@@ -236,6 +236,17 @@ def test_restore_only_manager_does_not_clobber_config(tmp_path):
     assert on_disk.quant == "none"  # override did NOT leak to disk
     assert on_disk.is_train == cfg.is_train
 
+    # resume-style session: a TRAINING manager constructed over an existing
+    # run must NOT overwrite the recorded config at construction (the
+    # restore hasn't been validated yet — a typo'd resume would otherwise
+    # destroy the original config); only its first SAVE records anew.
+    resume_cfg = cfg.replace(lr=cfg.lr * 10)  # deliberately different
+    mgr3 = CheckpointManager(resume_cfg)
+    assert Config.load(cfg_path).lr == cfg.lr  # original intact
+    mgr3.save(2, state)
+    assert Config.load(cfg_path).lr == resume_cfg.lr  # real run recorded
+    mgr3.close()
+
 
 def test_network_npz_export_import_roundtrip(tmp_path):
     state = create_state(TINY, jax.random.PRNGKey(0))

@@ -120,6 +120,16 @@ def test_export_fixed_batch_set_dispatch(tmp_path):
     np.testing.assert_array_equal(np.asarray(exp4)[:3], np.asarray(aot4))
 
 
+def test_fixed_dispatch_empty_batch_errors():
+    """A zero-row request must fail with a clear message, not an opaque
+    np.concatenate error (export_model._make_fixed_dispatch)."""
+    from deepinpainting_tpu.engine.export_model import _make_fixed_dispatch
+    call = _make_fixed_dispatch({1: lambda *a: np.zeros((1, 2))})
+    z3, z2 = np.zeros((0, 4, 4, 3), np.uint8), np.zeros((0, 4, 4), np.uint8)
+    with pytest.raises(ValueError, match="empty batch"):
+        call(None, None, None, z3, z2, z3)
+
+
 def test_serve_from_export_coalesced(artifact):
     """The VERDICT r3 'done' contract: a coalesced batched call through
     the exported artifact matches live bit-for-bit.  Two concurrent

@@ -158,9 +158,15 @@ def test_trainer_fit_sp_mesh(data_dirs, tiny_cfg, tmp_path):
     valid_ds = InpaintDataset(data_dirs["val"], data_dirs["mask"],
                               data_dirs["ref"], S)
     # self-built mesh path (no compile happens at construction): 8 virtual
-    # devices / sp_devices=2 -> (4 data x 2 sp); non-divisor counts reject
+    # devices / sp_devices=2 leaves 4 data groups, but batch_size=2 can't
+    # shard 4 ways, so the front-door divisibility guard (ddecd16)
+    # auto-shrinks the data axis to gcd(batch, 4) = 2 with a printed note
     auto = Trainer(cfg, train_ds, valid_ds)
     assert dict(zip(auto.mesh.axis_names, auto.mesh.devices.shape)) == {
+        cfg.data_axis: 2, "sp": 2}
+    # with a divisible batch the full (4 data x 2 sp) mesh is kept
+    auto4 = Trainer(cfg.replace(batch_size=4), train_ds, valid_ds)
+    assert dict(zip(auto4.mesh.axis_names, auto4.mesh.devices.shape)) == {
         cfg.data_axis: 4, "sp": 2}
     with pytest.raises(ValueError, match="sp_devices"):
         Trainer(cfg.replace(sp_devices=3), train_ds, valid_ds)
