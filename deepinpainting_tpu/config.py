@@ -35,8 +35,9 @@ class Config:
     which_model_netP: str = "unet_256"
     which_model_netD: str = "basic"
     which_model_netF: str = "feature"
-    norm: str = "instance"        # only 'instance' is supported; build_models
-                                  # rejects others loudly (networks.py:27-28)
+    norm: str = "instance"        # 'instance'|'batch' (get_norm_layer,
+                                  # networks.py:20-29); build_models rejects
+                                  # others loudly (networks.py:27-28)
     use_dropout: bool = False
     init_type: str = "normal"     # 'normal'|'xavier'|'kaiming'|'orthogonal'
                                   # (networks.py:49-62; unknown raises like

@@ -45,7 +45,8 @@ from ..models.unet import UnetGenerator
 from ..models.unet_ipsr import UnetGeneratorIPSR
 from ..models.vgg16 import Vgg16, apply_vgg16, vgg16_params
 from ..ops import masks as M
-from .state import TrainState, create_train_state, make_optimizer
+from .state import (TrainState, create_train_state, make_optimizer,
+                    params_of, rebuild_vars, variables_of)
 
 
 class Models(NamedTuple):
@@ -69,14 +70,15 @@ def build_models(cfg: Config) -> Models:
         raise NotImplementedError(cfg.which_model_netD)
     if cfg.which_model_netF != "feature":
         raise NotImplementedError(cfg.which_model_netF)
-    if cfg.norm != "instance":
-        # get_norm_layer raises for unknown norms (networks.py:27-28); here
-        # 'batch' is also rejected: running stats are antithetical to pure
-        # functional steps and the reference always runs 'instance'
-        # (app.py:27), so a silent fallback would misreport capability.
+    if cfg.norm not in ("instance", "batch"):
+        # get_norm_layer raises for unknown norms (networks.py:27-28).
+        # 'none' is also rejected here: the reference returns
+        # norm_layer=None for it and its own U-Net constructors then crash
+        # calling None(...) (networks.py:223), so no runnable reference
+        # config exists to be faithful to.
         raise NotImplementedError(
             f"normalization layer [{cfg.norm}] is not found "
-            "(only 'instance' is supported)")
+            "(supported: 'instance', 'batch')")
     if cfg.init_type not in ("normal", "xavier", "kaiming", "orthogonal"):
         # init_weights raises for unknown init methods (networks.py:66-67).
         raise NotImplementedError(
@@ -103,18 +105,18 @@ def build_models(cfg: Config) -> Models:
                             triple_weight=cfg.triple_weight,
                             truncate_backward=cfg.faithful_backward_truncation,
                             attention_impl=cfg.attention_impl,
-                            init_gain=cfg.init_gain,
+                            norm=cfg.norm, init_gain=cfg.init_gain,
                             init_type=cfg.init_type, remat=cfg.remat,
                             remat_depth=cfg.remat_depth),
         P=UnetGenerator(input_nc=cfg.input_nc, output_nc=cfg.output_nc,
                         num_downs=num_downs, ngf=cfg.ngf,
                         use_dropout=cfg.use_dropout,
-                        init_gain=cfg.init_gain,
+                        norm=cfg.norm, init_gain=cfg.init_gain,
                         init_type=cfg.init_type, remat=cfg.remat,
                         remat_depth=cfg.remat_depth),
         D=NLayerDiscriminator(input_nc=cfg.input_nc, ndf=cfg.ndf,
                               use_sigmoid=use_sigmoid,
-                              init_gain=cfg.init_gain,
+                              norm=cfg.norm, init_gain=cfg.init_gain,
                               init_type=cfg.init_type),
         F=PFDiscriminator(width=max(1, int(512 * cfg.vgg_width_scale)),
                           init_gain=cfg.init_gain,
@@ -140,10 +142,19 @@ def init_params(cfg: Config, rng: jax.Array) -> Dict[str, Any]:
         flag = jnp.zeros((1, fs * fs))
         feat3 = jnp.zeros((1, fs, fs, c3))
         from ..models.vgg16 import init_vgg16
+
+        def keep(variables):
+            # norm='batch': the state entry is the full variables dict
+            # ({'params', 'batch_stats'}); otherwise the bare params tree
+            # (keeps instance-mode checkpoints bit-compatible).
+            variables = dict(variables)
+            return (variables if "batch_stats" in variables
+                    else variables["params"])
+
         return {
-            "G": models.G.init(kG, x6, ref_feat, flag)["params"],
-            "P": models.P.init(kP, x3)["params"],
-            "D": models.D.init(kD, x3)["params"],
+            "G": keep(models.G.init(kG, x6, ref_feat, flag)),
+            "P": keep(models.P.init(kP, x3)),
+            "D": keep(models.D.init(kD, x3)),
             "F": models.F.init(kF, feat3)["params"],
             "vgg": init_vgg16(kV, width_scale=cfg.vgg_width_scale),
         }
@@ -225,6 +236,10 @@ class ForwardOut(NamedTuple):
     masked_mean: jnp.ndarray   # netP input (real_A pre-aliasing)
     known: jnp.ndarray         # zero-holed gt (post-aliasing real_A)
     syn: jnp.ndarray
+    # mutated flax collections from a TRAIN forward: {"G": {...}, "P": {...}}
+    # — empty dicts unless norm='batch' (running batch_stats updates, which
+    # the train step folds back into the state).  None for eval forwards.
+    mutated: Any = None
 
 
 def two_stage_forward(models: Models, params_G, params_P, gt, mask,
@@ -235,24 +250,40 @@ def two_stage_forward(models: Models, params_G, params_P, gt, mask,
     `dtype` is the activation compute dtype (cfg.dtype): activations are
     cast at this boundary, convs accumulate in f32, outputs and taps are
     returned in f32 so losses and metrics stay full-precision.
+
+    `params_G`/`params_P` are state entries: bare params trees, or full
+    variables dicts when norm='batch' (running stats ride along; train
+    forwards return the updated stats in ForwardOut.mutated).
     """
     masked_mean = M.fill_hole_with_mean(gt, mask)
     rng_p, rng_g = jax.random.split(rng)
-    fake_P = models.P.apply({"params": params_P},
-                            masked_mean.astype(dtype), train=train,
-                            rngs={"dropout": rng_p} if train else {})
+    if train:
+        fake_P, mut_P = models.P.apply(
+            variables_of(params_P), masked_mean.astype(dtype), train=True,
+            rngs={"dropout": rng_p}, mutable=["batch_stats"])
+    else:
+        fake_P = models.P.apply(variables_of(params_P),
+                                masked_mean.astype(dtype), train=False)
+        mut_P = {}
     fake_P = fake_P.astype(jnp.float32)
     known = M.zero_hole(gt, mask)
     m = mask[..., None]
     syn = lax.stop_gradient(fake_P) * m + known          # IPSR.py:172-175
     middle = jnp.concatenate([syn, known], axis=-1)      # IPSR.py:176 (aliased)
-    fake_B, taps = models.G.apply(
-        {"params": params_G}, middle.astype(dtype),
-        ref_feat.astype(dtype), flag, train=train,
-        rngs={"dropout": rng_g} if train else {})
+    if train:
+        (fake_B, taps), mut_G = models.G.apply(
+            variables_of(params_G), middle.astype(dtype),
+            ref_feat.astype(dtype), flag, train=True,
+            rngs={"dropout": rng_g}, mutable=["batch_stats"])
+    else:
+        fake_B, taps = models.G.apply(
+            variables_of(params_G), middle.astype(dtype),
+            ref_feat.astype(dtype), flag, train=False)
+        mut_G = {}
     fake_B = fake_B.astype(jnp.float32)
     taps = {k: v.astype(jnp.float32) for k, v in taps.items()}
-    return ForwardOut(fake_P, fake_B, taps, masked_mean, known, syn)
+    mutated = {"G": mut_G, "P": mut_P} if train else None
+    return ForwardOut(fake_P, fake_B, taps, masked_mean, known, syn, mutated)
 
 
 # ---------------------------------------------------------------------------
@@ -272,6 +303,17 @@ def make_train_step(cfg: Config):
             f"quant={cfg.quant!r} is inference-only (ops/quant.py); "
             "training runs full precision")
     if cfg.grad_accum > 1:
+        if cfg.norm == "batch":
+            # BatchNorm statistics are batch-size-dependent: a k-accumulated
+            # step would normalize each microbatch by ITS OWN statistics,
+            # silently computing a different function than the full batch
+            # (the standard BN/grad-accum non-commutation).  Reject loudly
+            # rather than train a subtly different model.
+            raise NotImplementedError(
+                "grad_accum > 1 with norm='batch' changes batch-statistics "
+                "semantics (per-microbatch stats != full-batch stats); use "
+                "norm='instance' with grad_accum, or full batches with "
+                "norm='batch'")
         return _make_accum_train_step(cfg, models, tx, dt)
 
     from ..ops.convs import conv_modes
@@ -298,15 +340,17 @@ def make_train_step(cfg: Config):
         # forward per optimize_parameters, models/IPSR.py:267-278): jax.vjp
         # records the primal + residuals now, the D phase consumes the
         # (detached) primal outputs, and the G phase pulls its gradients
-        # back through the stored residuals — no second forward.
+        # back through the stored residuals — no second forward.  With
+        # norm='batch' the updated G/P running stats ride the aux output
+        # (they get no gradients — torch updates buffers under no_grad).
         def fwd_fn(params_G, params_P):
             out = two_stage_forward(models, params_G, params_P, gt, mask,
                                     ref_feat, flag, train=True, rng=rng,
                                     dtype=dt)
-            return out.fake_B, out.fake_P, out.taps
+            return (out.fake_B, out.fake_P, out.taps), out.mutated
 
-        (fake_B, fake_P, taps), fwd_vjp = jax.vjp(
-            fwd_fn, state.params_G, state.params_P)
+        (fake_B, fake_P, taps), fwd_vjp, fwd_mut = jax.vjp(
+            fwd_fn, state.params_G, state.params_P, has_aux=True)
         fake_B_const = lax.stop_gradient(fake_B)
         # IPSR.py:212 — only relu3_3 of the fake image is ever consumed
         # (netF input), so stop the extractor before the conv4_* block
@@ -314,9 +358,15 @@ def make_train_step(cfg: Config):
                                upto=3)
 
         # ---- D / F phase (backward_D, models/IPSR.py:209-231) ----
+        # D forwards run train-mode, fake-then-real, chaining the running
+        # stats exactly as the reference's two train-mode netD calls do
+        # (IPSR.py:211-218); stats ride the aux, gradients don't see them.
         def d_loss_fn(params_D, params_F):
-            pred_fake = models.D.apply({"params": params_D}, fake_B_const)
-            pred_real = models.D.apply({"params": params_D}, gt)
+            vD = variables_of(params_D)
+            pred_fake, mutD = models.D.apply(vD, fake_B_const, True,
+                                             mutable=["batch_stats"])
+            pred_real, mutD = models.D.apply({**vD, **mutD}, gt, True,
+                                             mutable=["batch_stats"])
             loss_D_img = ra_gan_loss(pred_fake, pred_real, True, cfg.gan_type)
             pred_fake_f = models.F.apply({"params": params_F},
                                          lax.stop_gradient(vgg_fake.relu3_3))
@@ -325,22 +375,32 @@ def make_train_step(cfg: Config):
             loss_F_feat = ra_gan_loss(pred_fake_f, pred_real_f, True,
                                       cfg.gan_type)
             return 0.5 * loss_D_img + 0.5 * loss_F_feat, (loss_D_img,
-                                                          loss_F_feat)
+                                                          loss_F_feat, mutD)
 
-        (_, (loss_D_img, loss_F_feat)), (gD, gF) = jax.value_and_grad(
+        (_, (loss_D_img, loss_F_feat, mutD)), (gD, gF) = jax.value_and_grad(
             d_loss_fn, argnums=(0, 1), has_aux=True)(
                 state.params_D, state.params_F)
-        updD, optD = tx.update(gD, state.opt_D, state.params_D)
+        updD, optD = tx.update(params_of(gD), state.opt_D,
+                               params_of(state.params_D))
         updF, optF = tx.update(gF, state.opt_F, state.params_F)
-        new_D = optax.apply_updates(state.params_D, updD)
+        new_D = rebuild_vars(state.params_D,
+                             optax.apply_updates(params_of(state.params_D),
+                                                 updD), mutD)
         new_F = optax.apply_updates(state.params_F, updF)
 
         # ---- G / P phase (backward_G, models/IPSR.py:233-265) ----
         # Loss as a function of the forward *outputs*; its output-cotangents
-        # are pulled back through fwd_vjp to reach params_G/params_P.
+        # are pulled back through fwd_vjp to reach params_G/params_P.  The
+        # reference's backward_G runs two more train-mode netD forwards
+        # AFTER optimizer_D.step() (IPSR.py:235-238), so D's running stats
+        # continue from the D phase's and update twice more here.
+        vD_g = variables_of(new_D)
+
         def g_loss_fn(fake_B, fake_P, taps):
-            pred_fake = models.D.apply({"params": new_D}, fake_B)
-            pred_real = models.D.apply({"params": new_D}, gt)
+            pred_fake, mD = models.D.apply(vD_g, fake_B, True,
+                                           mutable=["batch_stats"])
+            pred_real, mD = models.D.apply({**vD_g, **mD}, gt, True,
+                                           mutable=["batch_stats"])
             # feature branch is constant w.r.t. G (vgg of detached fake_B)
             pred_fake_f = models.F.apply({"params": new_F}, vgg_fake.relu3_3)
             pred_real_f = models.F.apply({"params": new_F}, vgg_gt.relu3_3)
@@ -360,15 +420,23 @@ def make_train_step(cfg: Config):
                 if cfg.faithful_detached_cosis:
                     cos = lax.stop_gradient(cos)  # IPSR.py:255-263
                 loss_G = loss_G + cos
-            return loss_G, (loss_G_GAN, loss_G_L1, cos)
+            return loss_G, (loss_G_GAN, loss_G_L1, cos, mD)
 
-        (_, (loss_G_GAN, loss_G_L1, loss_cos)), out_cots = jax.value_and_grad(
+        ((_, (loss_G_GAN, loss_G_L1, loss_cos, mutD_g)),
+         out_cots) = jax.value_and_grad(
             g_loss_fn, argnums=(0, 1, 2), has_aux=True)(fake_B, fake_P, taps)
         gG, gP = fwd_vjp(out_cots)
-        updG, optG = tx.update(gG, state.opt_G, state.params_G)
-        updP, optP = tx.update(gP, state.opt_P, state.params_P)
-        new_G = optax.apply_updates(state.params_G, updG)
-        new_P = optax.apply_updates(state.params_P, updP)
+        updG, optG = tx.update(params_of(gG), state.opt_G,
+                               params_of(state.params_G))
+        updP, optP = tx.update(params_of(gP), state.opt_P,
+                               params_of(state.params_P))
+        new_G = rebuild_vars(state.params_G,
+                             optax.apply_updates(params_of(state.params_G),
+                                                 updG), fwd_mut["G"])
+        new_P = rebuild_vars(state.params_P,
+                             optax.apply_updates(params_of(state.params_P),
+                                                 updP), fwd_mut["P"])
+        new_D = rebuild_vars(new_D, params_of(new_D), mutD_g)
 
         new_state = state.replace(
             step=state.step + 1,
@@ -639,7 +707,7 @@ def make_coarse_fn(cfg: Config):
         gt = normalize_image(gt)
         mask = resolve_mask(cfg, normalize_mask(mask))
         masked_mean = M.fill_hole_with_mean(gt, mask)
-        fake_P = models.P.apply({"params": params_P},
+        fake_P = models.P.apply(variables_of(params_P),
                                 masked_mean.astype(dt), train=False)
         fake_P = fake_P.astype(jnp.float32)
         m = mask[..., None]

@@ -18,6 +18,37 @@ import optax
 from ..config import Config
 
 
+def has_stats(v: Any) -> bool:
+    """True when a network's state entry is a full flax variables dict
+    ({'params', 'batch_stats'}, norm='batch') rather than a bare params
+    tree.  Bare trees are keyed by submodule names, which never collide
+    with flax's reserved collection names."""
+    return isinstance(v, dict) and "batch_stats" in v
+
+
+def variables_of(v: Any) -> dict:
+    """Wrap a state entry into the flax `apply` variables dict."""
+    return dict(v) if has_stats(v) else {"params": v}
+
+
+def params_of(v: Any) -> Any:
+    """The trainable params subtree of a state entry (what the optimizer
+    sees; running stats are not optimized — torch registers them as
+    buffers, not parameters)."""
+    return v["params"] if has_stats(v) else v
+
+
+def rebuild_vars(old: Any, new_params: Any, mutated=None) -> Any:
+    """Reassemble a state entry from updated params + (optionally) the
+    mutated collections an apply returned.  Bare entries pass through."""
+    if not has_stats(old):
+        return new_params
+    stats = old["batch_stats"]
+    if mutated and "batch_stats" in mutated:
+        stats = mutated["batch_stats"]
+    return {"params": new_params, "batch_stats": stats}
+
+
 def make_optimizer(cfg: Config) -> optax.GradientTransformation:
     """Adam(lr, betas=(beta1, 0.999)) — models/IPSR.py:89-96 — with the
     learning rate injected as a mutable hyperparam so epoch-level schedules
@@ -41,13 +72,18 @@ class TrainState:
 
 
 def create_train_state(cfg: Config, params: Dict[str, Any]) -> TrainState:
+    # With norm='batch' the G/P/D entries are full variables dicts; the
+    # optimizer state covers only their params subtree (running stats are
+    # assigned by the train step, never stepped).
     tx = make_optimizer(cfg)
     return TrainState(
         step=jnp.zeros((), jnp.int32),
         params_G=params["G"], params_P=params["P"],
         params_D=params["D"], params_F=params["F"],
-        opt_G=tx.init(params["G"]), opt_P=tx.init(params["P"]),
-        opt_D=tx.init(params["D"]), opt_F=tx.init(params["F"]),
+        opt_G=tx.init(params_of(params["G"])),
+        opt_P=tx.init(params_of(params["P"])),
+        opt_D=tx.init(params_of(params["D"])),
+        opt_F=tx.init(params_of(params["F"])),
         vgg=params["vgg"],
     )
 

@@ -15,21 +15,32 @@ from __future__ import annotations
 import flax.linen as nn
 import jax.numpy as jnp
 
-from ..ops.convs import InstanceNorm, TorchConv, instance_norm, leaky_relu
+from ..ops.convs import TorchConv, leaky_relu, make_norm
 
 
 class NLayerDiscriminator(nn.Module):
-    """70x70-receptive-field PatchGAN on images."""
+    """70x70-receptive-field PatchGAN on images.
+
+    `train` matters only for norm='batch' (running-stats updates); the
+    reference's discriminator forwards in optimize_parameters all run with
+    the module in train mode.
+    """
     input_nc: int = 3
     ndf: int = 64
     n_layers: int = 3
     use_sigmoid: bool = False
+    norm: str = "instance"
     init_gain: float = 0.02
     init_type: str = "normal"
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
         g, it = self.init_gain, self.init_type
+        Norm = make_norm(self.norm, g)
+        # use_bias = (norm_layer == InstanceNorm2d) for the middle convs;
+        # the first and last convs always keep bias (networks.py:461-465,
+        # 469-496).
+        use_bias = self.norm == "instance"
         y = TorchConv(self.ndf, 4, stride=2, padding=1, name="conv0",
                       init_gain=g, init_type=it)(x)
         y = leaky_relu(y, 0.2)
@@ -37,14 +48,15 @@ class NLayerDiscriminator(nn.Module):
         for n in range(1, self.n_layers):
             nf = min(2 ** n, 8)
             y = TorchConv(self.ndf * nf, 4, stride=2, padding=1,
-                          name=f"conv{n}", init_gain=g, init_type=it)(y)
-            y = InstanceNorm(name=f"norm{n}")(y)
+                          name=f"conv{n}", use_bias=use_bias,
+                          init_gain=g, init_type=it)(y)
+            y = Norm(name=f"norm{n}")(y, train)
             y = leaky_relu(y, 0.2)
         nf = min(2 ** self.n_layers, 8)
         y = TorchConv(self.ndf * nf, 4, stride=1, padding=1,
-                      name=f"conv{self.n_layers}", init_gain=g,
-                      init_type=it)(y)
-        y = InstanceNorm(name=f"norm{self.n_layers}")(y)
+                      name=f"conv{self.n_layers}", use_bias=use_bias,
+                      init_gain=g, init_type=it)(y)
+        y = Norm(name=f"norm{self.n_layers}")(y, train)
         y = leaky_relu(y, 0.2)
         y = TorchConv(1, 4, stride=1, padding=1, name="head",
                       init_gain=g, init_type=it)(y)

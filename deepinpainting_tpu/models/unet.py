@@ -20,9 +20,9 @@ from typing import Optional
 import flax.linen as nn
 import jax.numpy as jnp
 
-from ..ops.convs import (InstanceNorm, TorchConv, TorchConvTranspose,
-                         bilinear_resize, constrain_unshardable_spatial,
-                         leaky_relu)
+from ..ops.convs import (TorchConv, TorchConvTranspose, bilinear_resize,
+                         constrain_unshardable_spatial, leaky_relu,
+                         make_norm)
 
 
 class UnetSkipBlock(nn.Module):
@@ -34,6 +34,7 @@ class UnetSkipBlock(nn.Module):
     outermost: bool = False
     innermost: bool = False
     use_dropout: bool = False
+    norm: str = "instance"
     init_gain: float = 0.02
     init_type: str = "normal"
 
@@ -42,6 +43,7 @@ class UnetSkipBlock(nn.Module):
         # `train` is positional so nn.remat can pin it static
         # (static_argnums=(2,)); a traced bool breaks Dropout's `not train`.
         input_nc = self.input_nc if self.input_nc is not None else self.outer_nc
+        Norm = make_norm(self.norm, self.init_gain)
 
         # ---- down ----
         y = x
@@ -53,7 +55,7 @@ class UnetSkipBlock(nn.Module):
         # GSPMD doesn't warn about involuntary resharding (no-op otherwise)
         y = constrain_unshardable_spatial(y)
         if not (self.outermost or self.innermost):
-            y = InstanceNorm(name="down_norm")(y)
+            y = Norm(name="down_norm")(y, train)
 
         # ---- submodule ----
         if self.submodule is not None:
@@ -67,7 +69,7 @@ class UnetSkipBlock(nn.Module):
         y = constrain_unshardable_spatial(y)
         if self.outermost:
             return jnp.tanh(y)
-        y = InstanceNorm(name="up_norm")(y)
+        y = Norm(name="up_norm")(y, train)
         if self.use_dropout:
             y = nn.Dropout(0.5, deterministic=not train)(y)
 
@@ -83,6 +85,7 @@ class UnetGenerator(nn.Module):
     num_downs: int = 8
     ngf: int = 64
     use_dropout: bool = False
+    norm: str = "instance"
     init_gain: float = 0.02
     init_type: str = "normal"
     remat: bool = False
@@ -100,6 +103,7 @@ class UnetGenerator(nn.Module):
         n_levels = self.num_downs  # blocks constructed inner -> outer
         def Block(level_from_outer, *a, **kw):
             kw.setdefault("init_type", self.init_type)
+            kw.setdefault("norm", self.norm)
             cls = UnetSkipBlock
             if self.remat and (self.remat_depth == 0
                                or level_from_outer < self.remat_depth):

@@ -36,9 +36,9 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from ..ops.attention import ipsr_attention_batched
-from ..ops.convs import (InstanceNorm, TorchConv, TorchConvTranspose,
-                         bilinear_resize, constrain_unshardable_spatial,
-                         leaky_relu)
+from ..ops.convs import (TorchConv, TorchConvTranspose, bilinear_resize,
+                         constrain_unshardable_spatial, leaky_relu,
+                         make_norm)
 
 
 class UnetBlock3(nn.Module):
@@ -55,6 +55,7 @@ class UnetBlock3(nn.Module):
     triple_weight: float = 1.0
     truncate_backward: bool = True
     attention_impl: str = "lax"
+    norm: str = "instance"
     init_gain: float = 0.02
     init_type: str = "normal"
 
@@ -69,6 +70,7 @@ class UnetBlock3(nn.Module):
         `not train` under remat.
         """
         input_nc = self.input_nc if self.input_nc is not None else self.outer_nc
+        Norm = make_norm(self.norm, self.init_gain)
         taps: Dict[str, jnp.ndarray] = {}
 
         # ---- down ----
@@ -85,7 +87,7 @@ class UnetBlock3(nn.Module):
             # sharding so GSPMD doesn't warn about involuntary resharding
             y = constrain_unshardable_spatial(y)
             if not self.innermost:
-                y = InstanceNorm(name="down_norm")(y)
+                y = Norm(name="down_norm")(y, train)
                 y = leaky_relu(y, 0.2)
                 y = TorchConv(self.inner_nc, 3, stride=1, padding=1,
                               name="down_conv3",
@@ -99,7 +101,7 @@ class UnetBlock3(nn.Module):
                         self.triple_weight, self.truncate_backward,
                         self.attention_impl)
                     taps["inner_cos"] = y  # InnerCos tap, pre-norm
-                y = InstanceNorm(name="down_norm3")(y)
+                y = Norm(name="down_norm3")(y, train)
 
         # ---- submodule ----
         if self.submodule is not None:
@@ -121,7 +123,7 @@ class UnetBlock3(nn.Module):
                                    init_gain=self.init_gain,
                           init_type=self.init_type)(y)
             y = constrain_unshardable_spatial(y)
-            y = InstanceNorm(name="up_norm")(y)
+            y = Norm(name="up_norm")(y, train)
         else:
             if self.with_attention:
                 # InnerCos2 tap: first 512 channels of the skip concat
@@ -132,14 +134,14 @@ class UnetBlock3(nn.Module):
                                    name="up_conv3",
                                    init_gain=self.init_gain,
                           init_type=self.init_type)(y)
-            y = InstanceNorm(name="up_norm3")(y)
+            y = Norm(name="up_norm3")(y, train)
             y = nn.relu(y)
             y = TorchConvTranspose(self.outer_nc, 4, stride=2, padding=1,
                                    name="up_conv",
                                    init_gain=self.init_gain,
                           init_type=self.init_type)(y)
             y = constrain_unshardable_spatial(y)
-            y = InstanceNorm(name="up_norm")(y)
+            y = Norm(name="up_norm")(y, train)
         if self.use_dropout:
             y = nn.Dropout(0.5, deterministic=not train)(y)
 
@@ -162,6 +164,7 @@ class UnetGeneratorIPSR(nn.Module):
     triple_weight: float = 1.0
     truncate_backward: bool = True
     attention_impl: str = "lax"
+    norm: str = "instance"
     init_gain: float = 0.02
     init_type: str = "normal"
     remat: bool = False
@@ -176,6 +179,7 @@ class UnetGeneratorIPSR(nn.Module):
         # more of the activation bytes than the rough net's.
         def Block(level_from_outer, *a, **kw):
             kw.setdefault("init_type", self.init_type)
+            kw.setdefault("norm", self.norm)
             cls = UnetBlock3
             if self.remat and (self.remat_depth == 0
                                or level_from_outer < self.remat_depth):

@@ -22,6 +22,7 @@ InstanceNorm weights).
 from __future__ import annotations
 
 import contextlib
+import functools
 from typing import Optional, Sequence, Tuple
 
 import flax.linen as nn
@@ -498,31 +499,116 @@ class TorchConvTranspose(nn.Module):
 
 
 class InstanceNorm(nn.Module):
-    """InstanceNorm2d(affine=True) as a linen module."""
+    """InstanceNorm2d(affine=True) as a linen module.
+
+    `train` is accepted (and ignored) so every make_norm product shares one
+    call signature; torch InstanceNorm2d defaults track no running stats.
+    """
     eps: float = 1e-5
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
         c = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (c,))
         offset = self.param("offset", nn.initializers.zeros, (c,))
         return instance_norm(x, scale, offset, self.eps)
 
 
-def make_norm(norm: str):
+class TorchBatchNorm(nn.Module):
+    """BatchNorm2d(affine=True) with exact torch semantics (norm='batch',
+    get_norm_layer at networks.py:21-22).
+
+    Parity with torch.nn.BatchNorm2d defaults (eps=1e-5, momentum=0.1,
+    track_running_stats=True):
+      * train: normalize with the BIASED batch variance over (N, H, W);
+        update running stats with torch's momentum convention
+        (new = (1 - momentum) * old + momentum * batch) where the variance
+        contribution is the UNBIASED estimate (n / (n - 1) correction) —
+        torch normalizes with biased but tracks unbiased.
+      * eval: normalize with the tracked running mean / var.
+    Affine init parity: init_weights' BatchNorm2d branch draws the scale
+    from N(1.0, gain) and zeroes the offset for EVERY init_type
+    (networks.py:65-67), unlike InstanceNorm which torch leaves at the
+    ones/zeros defaults.
+
+    Deliberate deviation: eval/inference here uses the tracked running
+    stats (train=False).  The reference never calls .eval() anywhere, so
+    its test() would normalize by TEST batch statistics had anyone run it
+    with norm='batch' — but no shipped reference config does (app.py:27),
+    and eval-mode-at-test is the semantics a torch user switching over
+    expects from a framework that does call eval().
+
+    Running stats live in the flax 'batch_stats' collection; train-mode
+    callers apply with mutable=["batch_stats"] and thread the returned
+    collection (engine/inpaint.py).  Stats and normalization are computed
+    in f32 regardless of the activation dtype, like instance_norm.  Under
+    spatial partitioning the (N, H, W) mean is a global reduction — GSPMD
+    inserts the cross-device psum, so sharded batch statistics are exact
+    (stronger than torch DataParallel's per-replica stats).
+    """
+    eps: float = 1e-5
+    momentum: float = 0.1
+    init_gain: float = 0.02
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = x.shape[-1]
+        gain = self.init_gain
+
+        def scale_init(key, shape):
+            return 1.0 + gain * jax.random.normal(key, shape, jnp.float32)
+
+        scale = self.param("scale", scale_init, (c,))
+        offset = self.param("offset", nn.initializers.zeros, (c,))
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((c,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((c,), jnp.float32))
+        xf = x.astype(jnp.float32)
+        if train:
+            mean = jnp.mean(xf, axis=(0, 1, 2))
+            var = jnp.mean(jnp.square(xf - mean), axis=(0, 1, 2))
+            if not self.is_initializing():
+                n = x.shape[0] * x.shape[1] * x.shape[2]
+                unbiased = var * (n / max(n - 1, 1))
+                m = self.momentum
+                ra_mean.value = ((1.0 - m) * ra_mean.value
+                                 + m * lax.stop_gradient(mean))
+                ra_var.value = ((1.0 - m) * ra_var.value
+                                + m * lax.stop_gradient(unbiased))
+        else:
+            mean, var = ra_mean.value, ra_var.value
+        y = ((xf - mean) * lax.rsqrt(var + self.eps)).astype(x.dtype)
+        return y * scale.astype(y.dtype) + offset.astype(y.dtype)
+
+
+class IdentityNorm(nn.Module):
+    """norm='none' placeholder sharing the norm call signature."""
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        return x
+
+
+def make_norm(norm: str, init_gain: float = 0.02):
     """Norm-layer factory mirroring get_norm_layer (networks.py:20-29).
 
-    'batch' is intentionally mapped to InstanceNorm at construction time with
-    a loud error instead: the reference always runs with 'instance'
-    (app.py:27), and BatchNorm's running stats are antithetical to pure
-    functional training steps.  'none' returns identity.
+    Returns a linen module class/factory with the uniform signature
+    __call__(x, train).  'batch' is TorchBatchNorm (running stats in the
+    'batch_stats' collection — the engine threads them, see
+    engine/inpaint.py); init_gain feeds its N(1, gain) scale init
+    (networks.py:65-67).  'none' is identity (the reference returns
+    norm_layer=None, which its own U-Net constructors then crash on —
+    networks.py:223 calls None(...); here it is a usable no-op).
     """
     if norm == "instance":
         return InstanceNorm
+    if norm == "batch":
+        return functools.partial(TorchBatchNorm, init_gain=init_gain)
     if norm == "none":
-        return lambda: (lambda x: x)
+        return IdentityNorm
     raise NotImplementedError(
-        f"norm '{norm}' not supported (reference configs use 'instance')")
+        f"normalization layer [{norm}] is not found")
 
 
 def leaky_relu(x, negative_slope: float = 0.2):

@@ -99,6 +99,81 @@ def test_module_init_distribution():
     assert float(jnp.abs(params["params"]["bias"]).max()) == 0.0
 
 
+def test_batch_norm_parity_train_stats_eval():
+    # TorchBatchNorm vs torch.nn.BatchNorm2d defaults (get_norm_layer's
+    # 'batch' branch, networks.py:21-22): train-mode normalization uses the
+    # biased batch variance, running stats accumulate the UNBIASED variance
+    # under momentum 0.1, eval normalizes with the tracked stats.
+    import jax
+    rng = np.random.default_rng(4)
+    c = 6
+    tbn = tnn.BatchNorm2d(c)
+    with torch.no_grad():
+        tbn.weight.copy_(torch.from_numpy(
+            rng.standard_normal(c).astype(np.float32)))
+        tbn.bias.copy_(torch.from_numpy(
+            rng.standard_normal(c).astype(np.float32)))
+    m = C.TorchBatchNorm()
+    x0 = rng.standard_normal((2, c, 8, 8)).astype(np.float32)
+    variables = m.init(jax.random.PRNGKey(0), to_nhwc(x0), True)
+    params = {"scale": jnp.asarray(tbn.weight.detach().numpy()),
+              "offset": jnp.asarray(tbn.bias.detach().numpy())}
+    stats = variables["batch_stats"]
+    tbn.train()
+    for _ in range(3):  # momentum accumulation over several steps
+        x = rng.standard_normal((2, c, 8, 8)).astype(np.float32)
+        with torch.no_grad():
+            ref = tbn(torch.from_numpy(x)).numpy()
+        ours, mut = m.apply({"params": params, "batch_stats": stats},
+                            to_nhwc(x), True, mutable=["batch_stats"])
+        np.testing.assert_allclose(from_nhwc(ours), ref, atol=1e-4)
+        stats = mut["batch_stats"]
+    np.testing.assert_allclose(np.asarray(stats["mean"]),
+                               tbn.running_mean.numpy(), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(stats["var"]),
+                               tbn.running_var.numpy(), atol=1e-5)
+    tbn.eval()
+    xe = rng.standard_normal((2, c, 8, 8)).astype(np.float32)
+    with torch.no_grad():
+        ref = tbn(torch.from_numpy(xe)).numpy()
+    ours = m.apply({"params": params, "batch_stats": stats}, to_nhwc(xe))
+    np.testing.assert_allclose(from_nhwc(ours), ref, atol=1e-4)
+
+
+def test_batch_norm_affine_init_distribution():
+    # init_weights' BatchNorm2d branch draws weight ~ N(1, gain) and zeroes
+    # bias for every init_type (networks.py:65-67).
+    import jax
+    c = 4096
+    m = C.TorchBatchNorm(init_gain=0.02)
+    variables = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 4, 4, c)), True)
+    s = variables["params"]["scale"]
+    assert abs(float(s.mean()) - 1.0) < 0.005
+    assert abs(float(s.std()) - 0.02) < 0.005
+    assert float(jnp.abs(variables["params"]["offset"]).max()) == 0.0
+    # init-phase applies must NOT move the running stats off torch's
+    # zeros/ones buffers (init_weights never runs a forward).
+    np.testing.assert_array_equal(
+        np.asarray(variables["batch_stats"]["mean"]), np.zeros(c))
+    np.testing.assert_array_equal(
+        np.asarray(variables["batch_stats"]["var"]), np.ones(c))
+
+
+def test_make_norm_factory():
+    # get_norm_layer parity (networks.py:20-29): instance/batch/none, and
+    # the unknown-norm error message.
+    import jax
+    assert C.make_norm("instance") is C.InstanceNorm
+    bn = C.make_norm("batch", init_gain=0.5)()
+    assert isinstance(bn, C.TorchBatchNorm) and bn.init_gain == 0.5
+    ident = C.make_norm("none")()
+    x = jnp.asarray(np.arange(12, dtype=np.float32).reshape(1, 2, 2, 3))
+    y = ident.apply({}, x, True)
+    np.testing.assert_array_equal(np.asarray(y), np.asarray(x))
+    with pytest.raises(NotImplementedError, match="normalization layer"):
+        C.make_norm("spectral")
+
+
 # ---- small-Cin packed rewrites (Config.pack_small_cin, ops/convs.py) -------
 
 @pytest.mark.parametrize("cin,k,s,p,hw", [

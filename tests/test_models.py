@@ -55,6 +55,26 @@ def test_netd_param_count_and_shape(rng):
     assert y.shape == (1, 30, 30, 1)
 
 
+def test_netd_batch_norm_drops_middle_bias(rng):
+    # NLayerDiscriminator couples conv bias to the norm layer:
+    # use_bias = (norm_layer == nn.InstanceNorm2d) for the middle convs,
+    # while the first and last convs always keep bias
+    # (networks.py:463-465,481,490 vs 476,495).
+    x = jnp.zeros((1, 32, 32, 3))
+    vi = NLayerDiscriminator(ndf=8).init(rng, x)
+    vb = NLayerDiscriminator(ndf=8, norm="batch").init(rng, x)
+    assert "batch_stats" in vb and "batch_stats" not in vi
+    for name in ("conv1", "conv2", "conv3"):
+        assert "bias" in vi["params"][name]
+        assert "bias" not in vb["params"][name]
+    for name in ("conv0", "head"):
+        assert "bias" in vb["params"][name]
+    # train-mode apply with stats threading produces the same-shaped output
+    y, mut = NLayerDiscriminator(ndf=8, norm="batch").apply(
+        vb, x, True, mutable=["batch_stats"])
+    assert y.shape == (1, 2, 2, 1) and "batch_stats" in mut
+
+
 def test_netf_param_count_and_shape(rng):
     # 10,487,296 params — train.ipynb cell-1 saved output for netF.
     model = PFDiscriminator()
@@ -127,8 +147,9 @@ def test_unsupported_norm_and_init_type_raise():
     from deepinpainting_tpu.engine.inpaint import build_models
     tiny = Config(fine_size=32, ngf=8, ndf=8, vgg_width_scale=1 / 8)
     build_models(tiny)  # baseline: valid config builds
+    build_models(tiny.replace(norm="batch"))  # get_norm_layer's other branch
     with pytest.raises(NotImplementedError, match="normalization layer"):
-        build_models(tiny.replace(norm="batch"))
+        build_models(tiny.replace(norm="spectral"))
     with pytest.raises(NotImplementedError, match="initialization method"):
         build_models(tiny.replace(init_type="uniform"))
 

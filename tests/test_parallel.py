@@ -92,6 +92,39 @@ def test_dp_matches_single_device_grad_semantics(single_ref):
     assert agree > 0.995, f"only {agree:.4%} of params agree"
 
 
+def test_dp_batch_norm_global_stats_match_single():
+    # norm='batch' under DP: jnp.mean over (N,H,W) of a batch-sharded array
+    # is the GLOBAL batch mean (GSPMD inserts the cross-device psum), so one
+    # DP step must produce the same running batch_stats as the same step on
+    # one device with the full batch — exact global statistics, stronger
+    # than torch DataParallel's per-replica stats.
+    cfg = TINY.replace(norm="batch", fine_size=32)
+    batch = batch_of(8, seed=3)
+    batch = {k: v[:, :32, :32] for k, v in batch.items()}
+    s_out, s_metrics = jax.jit(make_train_step(cfg))(
+        create_state(cfg, jax.random.PRNGKey(0)), batch,
+        jax.random.PRNGKey(7))
+
+    mesh = PP.make_mesh()
+    dp_state = PP.replicate_state(create_state(cfg, jax.random.PRNGKey(0)),
+                                  mesh)
+    dp_out, dp_metrics = PP.make_dp_train_step(cfg, mesh)(
+        dp_state, PP.shard_batch(batch, mesh), jax.random.PRNGKey(7))
+
+    np.testing.assert_allclose(float(dp_metrics["G_L1"]),
+                               float(s_metrics["G_L1"]), rtol=2e-4)
+    for net in ("params_G", "params_P", "params_D"):
+        for (kp_a, a), (kp_b, b) in zip(
+                jax.tree_util.tree_flatten_with_path(
+                    getattr(dp_out, net)["batch_stats"])[0],
+                jax.tree_util.tree_flatten_with_path(
+                    getattr(s_out, net)["batch_stats"])[0]):
+            assert jax.tree_util.keystr(kp_a) == jax.tree_util.keystr(kp_b)
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5,
+                err_msg=f"{net}{jax.tree_util.keystr(kp_a)}")
+
+
 # ---------------------------------------------------------------------------
 # spatial partitioning (parallel/spatial.py)
 # ---------------------------------------------------------------------------

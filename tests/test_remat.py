@@ -58,3 +58,36 @@ def test_remat_train_step_matches_plain():
                         jax.tree_util.tree_leaves(plain_out.params_G)])
     assert np.abs(a - b).max() <= 2.2 * TINY.lr, "non-Adam-shaped divergence"
     assert np.isclose(a, b, rtol=1e-3, atol=1e-5).mean() > 0.95
+
+
+def test_remat_batch_norm_matches_plain():
+    # norm='batch' composes with remat: the checkpointed levels' forwards
+    # re-run during backward, but flax threads each level's batch_stats
+    # mutation out of nn.remat once — the remat step's running stats and
+    # losses must equal the plain step's.
+    cfg = Config(fine_size=32, ngf=8, ndf=8, batch_size=2, norm="batch",
+                 use_dropout=False, vgg_width_scale=1 / 8,
+                 mask_type="random")
+    batch = batch_of(2, seed=3)
+    batch = {k: v[:, :32, :32] for k, v in batch.items()}
+    plain_out, plain_m = jax.jit(make_train_step(cfg))(
+        create_state(cfg, jax.random.PRNGKey(0)), batch,
+        jax.random.PRNGKey(7))
+
+    cfg_r = cfg.replace(remat=True)
+    r_out, r_m = jax.jit(make_train_step(cfg_r))(
+        create_state(cfg_r, jax.random.PRNGKey(0)), batch,
+        jax.random.PRNGKey(7))
+
+    for k in ("G_L1", "D", "F", "cosis"):
+        np.testing.assert_allclose(float(r_m[k]), float(plain_m[k]),
+                                   rtol=1e-4, err_msg=k)
+    for net in ("params_G", "params_P", "params_D"):
+        for (kp, a), (_, b) in zip(
+                jax.tree_util.tree_flatten_with_path(
+                    getattr(r_out, net)["batch_stats"])[0],
+                jax.tree_util.tree_flatten_with_path(
+                    getattr(plain_out, net)["batch_stats"])[0]):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6,
+                err_msg=f"{net}{jax.tree_util.keystr(kp)}")

@@ -131,6 +131,75 @@ def test_bf16_train_step_runs_and_is_finite(attn):
     assert leaves_delta(st.params_G, st2.params_G) > 0
 
 
+def test_batch_norm_train_step_threads_running_stats():
+    # norm='batch' (get_norm_layer's other branch, networks.py:21-22):
+    # G/P/D state entries become full variables dicts; one train step must
+    # update BOTH the params and the running batch_stats (the reference's
+    # train-mode forwards update BatchNorm buffers), the optimizer must
+    # never see the stats, and the eval step must consume them.
+    cfg = Config(fine_size=32, ngf=8, ndf=8, batch_size=2, norm="batch",
+                 vgg_width_scale=1 / 8)
+    st = create_state(cfg, jax.random.PRNGKey(0))
+    for net in ("params_G", "params_P", "params_D"):
+        assert "batch_stats" in getattr(st, net), net
+    assert "batch_stats" not in st.params_F  # PF norm is affine-less instance
+    step = jax.jit(make_train_step(cfg))
+    batch = tiny_batch(s=32)
+    st2, metrics = step(st, batch, jax.random.PRNGKey(1))
+    for k in ["G_GAN", "G_L1", "D", "F", "cosis"]:
+        assert np.isfinite(float(metrics[k])), k
+    for net in ("params_G", "params_P", "params_D"):
+        assert leaves_delta(getattr(st, net)["batch_stats"],
+                            getattr(st2, net)["batch_stats"]) > 0, net
+        assert leaves_delta(getattr(st, net)["params"],
+                            getattr(st2, net)["params"]) > 0, net
+    # optimizer state trees mirror the params subtree only (no stats moments)
+    for kp, _ in jax.tree_util.tree_flatten_with_path(st2.opt_G)[0]:
+        assert "batch_stats" not in jax.tree_util.keystr(kp)
+    # eval path consumes the tracked stats without mutating anything
+    ev = jax.jit(make_eval_step(cfg))
+    out = ev(st2, batch)
+    assert np.isfinite(float(np.asarray(out["psnr"]).mean()))
+    # a second identical train step keeps moving the stats toward the batch
+    st3, _ = step(st2, batch, jax.random.PRNGKey(1))
+    assert leaves_delta(st2.params_G["batch_stats"],
+                        st3.params_G["batch_stats"]) > 0
+
+
+def test_batch_norm_state_checkpoint_roundtrip(tmp_path):
+    # orbax full-state save/restore and the npz interop are tree-generic —
+    # with norm='batch' the G/P/D entries are variables dicts and the
+    # running stats must survive both roundtrips exactly (the reference
+    # persists BatchNorm buffers inside its state_dict .pt files).
+    from deepinpainting_tpu.engine.checkpoint import (
+        CheckpointManager, export_network_npz, import_network_npz)
+    cfg = Config(fine_size=32, ngf=8, ndf=8, batch_size=2, norm="batch",
+                 vgg_width_scale=1 / 8)
+    st = create_state(cfg, jax.random.PRNGKey(0))
+    pg = dict(st.params_G)  # perturb stats so the roundtrip carries state
+    pg["batch_stats"] = jax.tree_util.tree_map(
+        lambda x: x + 0.5, pg["batch_stats"])
+    st = st.replace(params_G=pg)
+    mgr = CheckpointManager(cfg, directory=str(tmp_path / "ckpt"))
+    mgr.save(1, st)
+    restored = mgr.restore(1, create_state(cfg, jax.random.PRNGKey(7)))
+    mgr.close()
+    assert leaves_delta(st.params_G, restored.params_G) == 0
+    npz = str(tmp_path / "G.npz")
+    export_network_npz(st.params_G, npz)
+    back = import_network_npz(restored.params_G, npz)
+    assert leaves_delta(st.params_G, back) == 0
+
+
+def test_batch_norm_rejects_grad_accum():
+    # BN statistics don't commute with microbatching; the combination is a
+    # loud front-door error, not a silently different model.
+    cfg = Config(fine_size=32, ngf=8, ndf=8, batch_size=4, norm="batch",
+                 grad_accum=2, vgg_width_scale=1 / 8)
+    with pytest.raises(NotImplementedError, match="grad_accum"):
+        make_train_step(cfg)
+
+
 def test_vanilla_gan_branch_trains_finite():
     """The 'vanilla' gan_type — a deliberate corrected deviation (the
     reference's raw BCELoss on relativistic differences in (-1,1) is broken
