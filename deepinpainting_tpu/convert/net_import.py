@@ -32,6 +32,9 @@ _KIND_BY_TORCH_CLASS = {
     "Conv2d": "conv",
     "ConvTranspose2d": "convT",
     "InstanceNorm2d": "norm",
+    "BatchNorm2d": "norm",   # affine weight/bias -> scale/offset, same as
+                             # instance; running buffers are mapped by
+                             # torch_module_to_variables
 }
 
 
@@ -154,6 +157,68 @@ def torch_module_to_params(torch_module, params_template: Dict[str, Any]
                     f"vs template {want}")
         set_path(new_params, path, converted)
     return new_params
+
+
+def _collect_torch_bn_stats(module) -> List[Tuple[np.ndarray, np.ndarray]]:
+    """Pre-order walk -> [(running_mean, running_var)] of every BatchNorm2d
+    (torch registers them as buffers, not parameters — base_model's
+    state_dict .pt files persist them alongside the weights)."""
+    out = []
+    for m in module.modules():
+        if type(m).__name__ == "BatchNorm2d" and m.running_mean is not None:
+            out.append((m.running_mean.detach().cpu().numpy(),
+                        m.running_var.detach().cpu().numpy()))
+    return out
+
+
+def _collect_stats_slots(stats_tree: Dict[str, Any], prefix=()
+                         ) -> List[Tuple[str, ...]]:
+    """Execution-ordered walk of a flax batch_stats tree -> [path] of each
+    {'mean','var'} scope (same _EXEC_ORDER as the params walk, so the
+    torch pre-order BN visit and this walk align one-to-one)."""
+    slots = []
+    for name in _exec_sorted(stats_tree.keys()):
+        sub = stats_tree[name]
+        if isinstance(sub, dict) and set(sub.keys()) == {"mean", "var"}:
+            slots.append(prefix + (name,))
+        elif isinstance(sub, dict):
+            slots.extend(_collect_stats_slots(sub, prefix + (name,)))
+        else:
+            raise ValueError(f"unexpected leaf at {prefix + (name,)}")
+    return slots
+
+
+def torch_module_to_variables(torch_module, variables_template
+                              ) -> Dict[str, Any]:
+    """Map a live reference torch net onto a full flax variables dict.
+
+    For norm='instance' templates (bare params trees) this is
+    torch_module_to_params; for norm='batch' templates
+    ({'params', 'batch_stats'}) the BatchNorm running buffers are mapped
+    into the batch_stats collection as well."""
+    if "batch_stats" not in variables_template:
+        return torch_module_to_params(torch_module, variables_template)
+    params = torch_module_to_params(torch_module,
+                                    variables_template["params"])
+    stats = jax.tree_util.tree_map(lambda x: x,
+                                   variables_template["batch_stats"])
+    bn = _collect_torch_bn_stats(torch_module)
+    slots = _collect_stats_slots(stats)
+    if len(bn) != len(slots):
+        raise ValueError(
+            f"BatchNorm count mismatch: torch has {len(bn)}, template has "
+            f"{len(slots)} batch_stats scopes — architectures disagree")
+    for (mean, var), path in zip(bn, slots):
+        node = stats
+        for k in path[:-1]:
+            node = node[k]
+        want = np.asarray(node[path[-1]]["mean"]).shape
+        if mean.shape != want:
+            raise ValueError(f"stats shape mismatch at {path}: torch "
+                             f"{mean.shape} vs template {want}")
+        node[path[-1]] = {"mean": mean.astype(np.float32),
+                          "var": var.astype(np.float32)}
+    return {"params": params, "batch_stats": stats}
 
 
 def torch_state_dict_to_params(state_dict, builder, params_template):

@@ -293,3 +293,94 @@ def test_composed_train_step_loss_parity(stacks):
     for k, w in want.items():
         np.testing.assert_allclose(float(metrics[k]), w, rtol=2e-3,
                                    atol=2e-4, err_msg=k)
+
+
+# ---------------------------------------------------------------------------
+# norm='batch' twin: loss scalars AND running-stats threading vs torch
+# ---------------------------------------------------------------------------
+
+def _assert_stats_match(torch_net, our_stats, rtol, atol, label):
+    """Zip torch's pre-order BatchNorm buffers against our exec-ordered
+    batch_stats scopes (the same alignment torch_module_to_variables uses
+    for import) and compare running mean/var."""
+    from deepinpainting_tpu.convert.net_import import (_collect_stats_slots,
+                                                       _collect_torch_bn_stats)
+    bn = _collect_torch_bn_stats(torch_net)
+    slots = _collect_stats_slots(our_stats)
+    assert len(bn) == len(slots), label
+    for (mean, var), path in zip(bn, slots):
+        node = our_stats
+        for k in path:
+            node = node[k]
+        np.testing.assert_allclose(np.asarray(node["mean"]), mean,
+                                   rtol=rtol, atol=atol,
+                                   err_msg=f"{label}/{'/'.join(path)}/mean")
+        np.testing.assert_allclose(np.asarray(node["var"]), var,
+                                   rtol=rtol, atol=atol,
+                                   err_msg=f"{label}/{'/'.join(path)}/var")
+
+
+def test_composed_train_step_parity_batch_norm():
+    """One optimize_parameters() with norm='batch' (get_norm_layer's other
+    branch, networks.py:21-22) vs our train_step: beyond the loss scalars,
+    the running batch_stats must reproduce torch's buffer updates —
+    including the D-stat chaining order (fake-then-real in backward_D,
+    IPSR.py:219-220, then fake-then-real AGAIN in backward_G after
+    optimizer_D.step(), IPSR.py:238-241) and the single G/P update from
+    forward().  A wrong chaining order shifts the tracked stats at the
+    momentum (10%) scale, far outside the float-accumulation tolerance."""
+    from deepinpainting_tpu.convert.net_import import torch_module_to_variables
+
+    class BNOpt(Opt):
+        norm = "batch"
+
+    torch.manual_seed(7)
+    with torch.no_grad():
+        ref_model = _create_reference_model(BNOpt())
+
+    cfg = CFG.replace(norm="batch")
+    models = build_models(cfg)
+    s, fs = S, S // 8
+    k = jax.random.PRNGKey(0)
+    vG = models.G.init(k, jnp.zeros((1, s, s, 6)),
+                       jnp.zeros((1, fs, fs, 512)), jnp.zeros((1, fs * fs)))
+    vP = models.P.init(k, jnp.zeros((1, s, s, 3)))
+    vD = models.D.init(k, jnp.zeros((1, s, s, 3)))
+    tF = models.F.init(k, jnp.zeros((1, fs, fs, 256)))["params"]
+    sd = {"features." + n: p for n, p in _VGG_FEATURES.state_dict().items()}
+    params = {
+        "G": torch_module_to_variables(ref_model.netG, dict(vG)),
+        "P": torch_module_to_variables(ref_model.netP, dict(vP)),
+        "D": torch_module_to_variables(ref_model.netD, dict(vD)),
+        "F": torch_module_to_variables(ref_model.netF, tF),
+        "vgg": {kk: jnp.asarray(v)
+                for kk, v in convert_vgg16_state_dict(sd).items()},
+    }
+    state = create_train_state(cfg, params)
+    batch = _batch()
+
+    _run_reference_chain(ref_model, batch)
+    ref_model.optimize_parameters()
+    want = {
+        "D": float(ref_model.loss_D_fake),
+        "F": float(ref_model.loss_F_fake),
+        "G_GAN": float(ref_model.loss_G_GAN),
+        "G_L1": float(ref_model.loss_G_L1),
+        "cosis": float(ref_model.ng_loss_value + ref_model.ng_loss_value2),
+    }
+
+    new_state, metrics = make_train_step(cfg)(
+        state, {kk: jnp.asarray(v) for kk, v in batch.items()},
+        jax.random.PRNGKey(0))
+    for kk, w in want.items():
+        np.testing.assert_allclose(float(metrics[kk]), w, rtol=2e-3,
+                                   atol=2e-4, err_msg=kk)
+    # G/P: one train-mode forward's worth of stat updates; D: four chained
+    # updates (two per phase).  fake_B carries the composed pipelines'
+    # float divergence, so D gets the looser tolerance.
+    _assert_stats_match(ref_model.netG, new_state.params_G["batch_stats"],
+                        rtol=1e-2, atol=1e-3, label="G")
+    _assert_stats_match(ref_model.netP, new_state.params_P["batch_stats"],
+                        rtol=1e-2, atol=1e-3, label="P")
+    _assert_stats_match(ref_model.netD, new_state.params_D["batch_stats"],
+                        rtol=2e-2, atol=2e-3, label="D")
