@@ -56,6 +56,29 @@ def test_export_roundtrip_matches_live(artifact):
     assert loaded.cfg.fine_size == S
 
 
+def test_export_roundtrip_batch_norm(tmp_path):
+    # norm='batch' state entries are variables dicts ({'params',
+    # 'batch_stats'}); the flat-npz weight serialization and the exported
+    # graph's pytree closure are path-generic, so the AOT artifact must
+    # reproduce the live eval-mode (running-stats) serving output exactly.
+    cfg = TINY.replace(norm="batch")
+    state = create_state(cfg, jax.random.PRNGKey(0))
+    # move the stats off init zeros/ones so the roundtrip carries them
+    pg = dict(state.params_G)
+    pg["batch_stats"] = jax.tree_util.tree_map(
+        lambda x: x + 0.25, pg["batch_stats"])
+    state = state.replace(params_G=pg)
+    out = str(tmp_path / "artifact")
+    export_serving(cfg, state, out)
+    loaded = load_serving(out)
+    img, mask, ref = _inputs()
+    live = make_serving_fn(cfg)(state.params_G, state.params_P,
+                                state.vgg, img, mask, ref)
+    aot = loaded.call(loaded.params_G, loaded.params_P, loaded.vgg,
+                      img, mask, ref)
+    np.testing.assert_array_equal(np.asarray(live), np.asarray(aot))
+
+
 def test_export_artifact_files(artifact):
     import json
     import os
