@@ -316,7 +316,7 @@ def make_train_step(cfg: Config):
                 "norm='batch'")
         return _make_accum_train_step(cfg, models, tx, dt)
 
-    from ..ops.convs import conv_modes
+    from ..ops.convs import constrain_batch_only, conv_modes
 
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
                    rng: jax.Array):
@@ -361,11 +361,21 @@ def make_train_step(cfg: Config):
         # D forwards run train-mode, fake-then-real, chaining the running
         # stats exactly as the reference's two train-mode netD calls do
         # (IPSR.py:211-218); stats ride the aux, gradients don't see them.
+        # With norm='batch' under SP, the discriminator runs batch-parallel
+        # only (ops/convs.py constrain_batch_only: its uneven conv-tail
+        # heights corrupt the GSPMD-sharded stat reductions); no-op
+        # elsewhere.
+        if cfg.norm == "batch":
+            fake_for_D = constrain_batch_only(fake_B_const)
+            gt_for_D = constrain_batch_only(gt)
+        else:
+            fake_for_D, gt_for_D = fake_B_const, gt
+
         def d_loss_fn(params_D, params_F):
             vD = variables_of(params_D)
-            pred_fake, mutD = models.D.apply(vD, fake_B_const, True,
+            pred_fake, mutD = models.D.apply(vD, fake_for_D, True,
                                              mutable=["batch_stats"])
-            pred_real, mutD = models.D.apply({**vD, **mutD}, gt, True,
+            pred_real, mutD = models.D.apply({**vD, **mutD}, gt_for_D, True,
                                              mutable=["batch_stats"])
             loss_D_img = ra_gan_loss(pred_fake, pred_real, True, cfg.gan_type)
             pred_fake_f = models.F.apply({"params": params_F},
@@ -397,9 +407,11 @@ def make_train_step(cfg: Config):
         vD_g = variables_of(new_D)
 
         def g_loss_fn(fake_B, fake_P, taps):
-            pred_fake, mD = models.D.apply(vD_g, fake_B, True,
+            fake_in = (constrain_batch_only(fake_B)
+                       if cfg.norm == "batch" else fake_B)
+            pred_fake, mD = models.D.apply(vD_g, fake_in, True,
                                            mutable=["batch_stats"])
-            pred_real, mD = models.D.apply({**vD_g, **mD}, gt, True,
+            pred_real, mD = models.D.apply({**vD_g, **mD}, gt_for_D, True,
                                            mutable=["batch_stats"])
             # feature branch is constant w.r.t. G (vgg of detached fake_B)
             pred_fake_f = models.F.apply({"params": new_F}, vgg_fake.relu3_3)

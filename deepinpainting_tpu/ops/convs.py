@@ -127,6 +127,23 @@ def sp_hint_mode(mesh, sp_axis: str, data_axis: Optional[str] = None):
         _SP_HINT = prev
 
 
+def constrain_batch_only(x):
+    """Pin a [B,...] tensor to batch-only sharding (no spatial sharding)
+    under `sp_hint_mode`; no-op otherwise.  Used to keep the whole
+    discriminator data-parallel when norm='batch': its stride chain hits
+    H values (e.g. 3) that never divide the sp axis, and GSPMD's
+    last-resort replicate-then-repartition of the unevenly-sharded tail
+    (xla b/433785288) leaks pad rows into the BatchNorm (N,H,W) reduction
+    (measured 1.55x on the tracked mean).  The discriminator is a tiny
+    conv stack, so forgoing its H-sharding costs nothing measurable."""
+    if _SP_HINT is None:
+        return x
+    mesh, sp_axis, data_axis = _SP_HINT
+    from jax.sharding import NamedSharding, PartitionSpec
+    spec = PartitionSpec(data_axis) if data_axis else PartitionSpec()
+    return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
+
+
 def constrain_unshardable_spatial(x):
     """Pin a [B,H,W,C] activation too small to H-shard to an explicit
     (batch-sharded, spatially-replicated) sharding.  No-op unless traced
@@ -564,6 +581,15 @@ class TorchBatchNorm(nn.Module):
                                 lambda: jnp.zeros((c,), jnp.float32))
         ra_var = self.variable("batch_stats", "var",
                                lambda: jnp.ones((c,), jnp.float32))
+        # Under spatial partitioning, pin H-unshardable inputs to a clean
+        # batch-only sharding BEFORE the global (N,H,W) reduction: GSPMD's
+        # involuntary handling of an unevenly-H-sharded operand miscounts
+        # the mean (measured 2.0x on a [B,1,1,C] bottleneck and 1.55x on
+        # the discriminator's [B,3,3,C] tail over a 2x4 data x sp mesh —
+        # losses are immune since BN output is shift/scale-invariant in
+        # its own stats, but the tracked running stats are not).  No-op
+        # outside sp_hint_mode.
+        x = constrain_unshardable_spatial(x)
         xf = x.astype(jnp.float32)
         if train:
             mean = jnp.mean(xf, axis=(0, 1, 2))

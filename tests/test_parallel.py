@@ -196,6 +196,42 @@ def test_dp_sp_train_step_matches_single(single_ref):
     assert agree > 0.90, f"only {agree:.4%} of params agree"
 
 
+def test_dp_sp_batch_norm_stats_match_single():
+    # norm='batch' on the 2-D (data=2, sp=4) mesh: the (N,H,W) statistics
+    # reduce over BOTH sharded axes (batch 2-way, height 4-way — GSPMD
+    # inserts the cross-device reductions), so the running stats must equal
+    # the single-device full-batch stats.  G/P stats come from the one
+    # deterministic forward (tight); D's G-phase stats run through the
+    # POST-Adam discriminator, which inherits the sharded-vs-unsharded
+    # first-step sign-flip noise at the lr scale (see the instance dp_sp
+    # test above), hence the looser D tolerance.
+    cfg = TINY.replace(norm="batch", fine_size=32)
+    batch = {k: v[:, :32, :32] for k, v in batch_of(8, seed=3).items()}
+    s_out, s_metrics = jax.jit(make_train_step(cfg))(
+        create_state(cfg, jax.random.PRNGKey(0)), batch,
+        jax.random.PRNGKey(7))
+
+    mesh = PP.make_dp_sp_mesh(2, 4)
+    state = PP.replicate_state(create_state(cfg, jax.random.PRNGKey(0)),
+                               mesh)
+    out, metrics = PP.make_dp_sp_train_step(cfg, mesh)(
+        state, PP.place_spatial(batch, mesh, data_axis="data"),
+        jax.random.PRNGKey(7))
+
+    np.testing.assert_allclose(float(metrics["G_L1"]),
+                               float(s_metrics["G_L1"]), rtol=5e-4)
+    for net, rtol in (("params_G", 1e-3), ("params_P", 1e-3),
+                      ("params_D", 1e-2)):
+        for (kp, a), (_, b) in zip(
+                jax.tree_util.tree_flatten_with_path(
+                    getattr(out, net)["batch_stats"])[0],
+                jax.tree_util.tree_flatten_with_path(
+                    getattr(s_out, net)["batch_stats"])[0]):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=rtol, atol=1e-4,
+                err_msg=f"{net}{jax.tree_util.keystr(kp)}")
+
+
 def test_dp_step_with_grad_accum_runs_on_8_devices():
     """Config.grad_accum composes with the GSPMD DP step: the global batch
     reshapes to (k, B/k) microbatches inside the sharded jit (each
