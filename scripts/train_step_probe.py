@@ -30,6 +30,8 @@ def main():
     ap.add_argument("--remat", action="store_true")
     ap.add_argument("--remat_depth", type=int, default=3)
     ap.add_argument("--grad_accum", type=int, default=1)
+    ap.add_argument("--norm", default="instance",
+                    help="instance|batch (BN threads running stats through the step)")
     ap.add_argument("--mem", action="store_true",
                     help="also compile the bare (un-chained) step and print "
                          "memory_analysis() temp/argument/output bytes — "
@@ -49,7 +51,7 @@ def main():
     cfg = Config(fine_size=args.size, batch_size=args.batch,
                  dtype=args.dtype, attention_impl=args.attn,
                  remat=args.remat, remat_depth=args.remat_depth,
-                 grad_accum=args.grad_accum)
+                 grad_accum=args.grad_accum, norm=args.norm)
     state = create_state(cfg, jax.random.PRNGKey(0))
     step = make_train_step(cfg)
     b, s = args.batch, args.size
@@ -109,7 +111,7 @@ def main():
     med = per[len(per) // 2]
     print(f"[train-probe] b={b} size={s} dtype={args.dtype} "
           f"attn={args.attn} remat={args.remat}/{args.remat_depth} "
-          f"accum={args.grad_accum}: "
+          f"accum={args.grad_accum} norm={args.norm}: "
           f"{med * 1000:.2f} ms/step = "
           f"{b / med:.1f} img/s "
           f"(spread {(per[-1] - per[0]) / med * 100:.1f}%)",
