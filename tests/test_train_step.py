@@ -166,6 +166,23 @@ def test_batch_norm_train_step_threads_running_stats():
                         st3.params_G["batch_stats"]) > 0
 
 
+def test_batch_norm_bf16_step_finite_and_f32_stats():
+    # bf16 activations compose with norm='batch': TorchBatchNorm computes
+    # statistics in f32 regardless of the activation dtype, so the tracked
+    # stats stay f32 and the step stays finite.
+    cfg = Config(fine_size=32, ngf=8, ndf=8, batch_size=2, norm="batch",
+                 dtype="bfloat16", vgg_width_scale=1 / 8)
+    st = create_state(cfg, jax.random.PRNGKey(0))
+    st2, m = jax.jit(make_train_step(cfg))(st, tiny_batch(s=32),
+                                           jax.random.PRNGKey(1))
+    for k in ["G_GAN", "G_L1", "D", "F"]:
+        assert np.isfinite(float(m[k])), k
+    for x in jax.tree_util.tree_leaves(st2.params_G["batch_stats"]):
+        assert x.dtype == jnp.float32
+    assert leaves_delta(st.params_G["batch_stats"],
+                        st2.params_G["batch_stats"]) > 0
+
+
 def test_batch_norm_state_checkpoint_roundtrip(tmp_path):
     # orbax full-state save/restore and the npz interop are tree-generic —
     # with norm='batch' the G/P/D entries are variables dicts and the

@@ -87,6 +87,35 @@ def test_trainer_fit_two_epochs(data_dirs, tiny_cfg):
     assert int(state3.step) == 8  # one more epoch (4) from epoch 3
 
 
+def test_trainer_fit_resume_batch_norm(data_dirs, tiny_cfg, tmp_path):
+    # norm='batch' through the full Trainer surface: orbax checkpoints the
+    # variables-dict state entries per epoch, and a resume restores the
+    # running batch_stats exactly (the reference persists BN buffers in
+    # its state_dict .pt files), then keeps updating them.
+    cfg = tiny_cfg.replace(norm="batch", checkpoints_dir=str(tmp_path),
+                           name="bn")
+    mesh = pmesh.make_mesh(jax.devices()[:2])
+    train_ds = InpaintDataset(data_dirs["img"], data_dirs["mask"],
+                              data_dirs["ref"], S)
+    tr = Trainer(cfg, train_ds, mesh=mesh)
+    state = tr.fit()
+    assert int(state.step) == 4
+    stats_end = jax.tree_util.tree_leaves(state.params_G["batch_stats"])
+    assert any(float(np.abs(np.asarray(x)).max()) > 0 for x in stats_end)
+    cfg2 = cfg.replace(continue_train=True, which_epoch="2", niter_decay=2)
+    tr2 = Trainer(cfg2, train_ds, mesh=mesh)
+    restored = tr2.init_state()
+    for a, b in zip(jax.tree_util.tree_leaves(state.params_G),
+                    jax.tree_util.tree_leaves(restored.params_G)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    state2 = tr2.fit()  # one more epoch (3) from the restore
+    assert int(state2.step) == 6
+    assert any(not np.array_equal(np.asarray(a), np.asarray(b))
+               for a, b in zip(
+                   stats_end,
+                   jax.tree_util.tree_leaves(state2.params_G["batch_stats"])))
+
+
 def test_evaluator_exact_count_with_ragged_tail(data_dirs, tiny_cfg,
                                                 tmp_path, tmp_path_factory):
     """batch_size 4 over 10 images must evaluate exactly 10 (VERDICT #8):
