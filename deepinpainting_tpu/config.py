@@ -131,7 +131,10 @@ class Config:
     # phases via jax.vjp; the accumulated step cannot hold k microbatches of
     # residuals, so the G phase re-runs the forward).  D-then-G ordering and
     # G-sees-updated-D semantics (models/IPSR.py:267-278) are preserved
-    # exactly.  batch_size must be divisible by grad_accum.
+    # exactly.  batch_size must be divisible by grad_accum.  With
+    # norm='batch' each microbatch normalizes by its own statistics and the
+    # running stats chain sequentially (torch grad-accum semantics — see
+    # engine/inpaint.py _make_accum_train_step).
     debug_nan: bool = False        # halt training on non-finite losses
     metrics_every: int = 10        # fetch step metrics to host every K steps
                                    # (amortizes the blocking device sync;

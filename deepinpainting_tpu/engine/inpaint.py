@@ -45,8 +45,8 @@ from ..models.unet import UnetGenerator
 from ..models.unet_ipsr import UnetGeneratorIPSR
 from ..models.vgg16 import Vgg16, apply_vgg16, vgg16_params
 from ..ops import masks as M
-from .state import (TrainState, create_train_state, make_optimizer,
-                    params_of, rebuild_vars, variables_of)
+from .state import (TrainState, create_train_state, has_stats,
+                    make_optimizer, params_of, rebuild_vars, variables_of)
 
 
 class Models(NamedTuple):
@@ -303,17 +303,6 @@ def make_train_step(cfg: Config):
             f"quant={cfg.quant!r} is inference-only (ops/quant.py); "
             "training runs full precision")
     if cfg.grad_accum > 1:
-        if cfg.norm == "batch":
-            # BatchNorm statistics are batch-size-dependent: a k-accumulated
-            # step would normalize each microbatch by ITS OWN statistics,
-            # silently computing a different function than the full batch
-            # (the standard BN/grad-accum non-commutation).  Reject loudly
-            # rather than train a subtly different model.
-            raise NotImplementedError(
-                "grad_accum > 1 with norm='batch' changes batch-statistics "
-                "semantics (per-microbatch stats != full-batch stats); use "
-                "norm='instance' with grad_accum, or full batches with "
-                "norm='batch'")
         return _make_accum_train_step(cfg, models, tx, dt)
 
     from ..ops.convs import constrain_batch_only, conv_modes
@@ -487,8 +476,36 @@ def _make_accum_train_step(cfg: Config, models: Models, tx, dt):
     mathematically identical to one k-times-larger batch (true of
     gradient accumulation in any relativistic-GAN trainer); L1 and
     InnerCos terms accumulate exactly.
+
+    norm='batch' composes with torch-faithful semantics: each microbatch
+    normalizes by ITS OWN batch statistics and the running stats update
+    once per train-mode forward, sequentially in microbatch order —
+    exactly what a torch trainer calling forward k times per
+    optimizer.step() computes (and therefore a *different function* from
+    the fused full-batch step; the pair used to be rejected for this
+    reason, now it is implemented with the semantics stated here).  The
+    G/P stats thread through the D-phase scan and commit from there (the
+    G-phase scan re-runs the same forwards with the same rngs — BN
+    train-mode outputs don't depend on the incoming running stats, so
+    fake_B is identical and committing its duplicate updates would
+    double-count); D's stats chain fake->real per microbatch in the D
+    phase and twice more per microbatch in the G phase, generalizing the
+    fused step's 4-updates-per-step call order (models/IPSR.py:211-238).
     """
     k = cfg.grad_accum
+    bn = cfg.norm == "batch"
+
+    def _stats_of(entry):
+        return entry["batch_stats"] if has_stats(entry) else {}
+
+    def _with_stats(entry, stats):
+        if not has_stats(entry):
+            return entry
+        return {"params": entry["params"], "batch_stats": stats}
+
+    def _mut_stats(mutated, prev):
+        return (mutated["batch_stats"]
+                if mutated and "batch_stats" in mutated else prev)
 
     def _prep(batch):
         batch = normalize_batch(batch)
@@ -498,23 +515,36 @@ def _make_accum_train_step(cfg: Config, models: Models, tx, dt):
         fmask, flag = prepare_masks(cfg, mask)
         return gt, ref, mask, fmask, flag
 
-    def _d_grads(state, mb, rng):
+    def _d_grads(state, stats, mb, rng):
+        stG, stP, stD = stats
         gt, ref, mask, _, flag = _prep(mb)
         # upto=3: the D phase consumes only relu3_3 of gt (gt's relu4_3 is
         # recomputed in the G phase anyway) — running the three 512-channel
         # conv4_* layers here would be dead compute k times per step.
         vgg_gt = apply_vgg16(state.vgg, gt, cfg.vgg_width_scale, upto=3)
         ref_feat = apply_vgg16(state.vgg, ref, cfg.vgg_width_scale).relu4_3
-        out = two_stage_forward(models, state.params_G, state.params_P,
+        out = two_stage_forward(models, _with_stats(state.params_G, stG),
+                                _with_stats(state.params_P, stP),
                                 gt, mask, ref_feat, flag, train=True,
                                 rng=rng, dtype=dt)
+        stG = _mut_stats(out.mutated["G"], stG)
+        stP = _mut_stats(out.mutated["P"], stP)
         fake_B_const = lax.stop_gradient(out.fake_B)
         vgg_fake = apply_vgg16(state.vgg, fake_B_const, cfg.vgg_width_scale,
                                upto=3)
+        if bn:
+            fake_for_D = constrain_batch_only(fake_B_const)
+            gt_for_D = constrain_batch_only(gt)
+        else:
+            fake_for_D, gt_for_D = fake_B_const, gt
 
         def d_loss_fn(params_D, params_F):
-            pred_fake = models.D.apply({"params": params_D}, fake_B_const)
-            pred_real = models.D.apply({"params": params_D}, gt)
+            vD = ({"params": params_D, "batch_stats": stD} if bn
+                  else {"params": params_D})
+            pred_fake, mutD = models.D.apply(vD, fake_for_D, True,
+                                             mutable=["batch_stats"])
+            pred_real, mutD = models.D.apply({**vD, **mutD}, gt_for_D, True,
+                                             mutable=["batch_stats"])
             loss_D_img = ra_gan_loss(pred_fake, pred_real, True, cfg.gan_type)
             pred_fake_f = models.F.apply({"params": params_F},
                                          lax.stop_gradient(vgg_fake.relu3_3))
@@ -523,14 +553,15 @@ def _make_accum_train_step(cfg: Config, models: Models, tx, dt):
             loss_F_feat = ra_gan_loss(pred_fake_f, pred_real_f, True,
                                       cfg.gan_type)
             return 0.5 * loss_D_img + 0.5 * loss_F_feat, (loss_D_img,
-                                                          loss_F_feat)
+                                                          loss_F_feat, mutD)
 
-        (_, aux), grads = jax.value_and_grad(
+        (_, (loss_D_img, loss_F_feat, mutD)), grads = jax.value_and_grad(
             d_loss_fn, argnums=(0, 1), has_aux=True)(
-                state.params_D, state.params_F)
-        return grads, aux
+                params_of(state.params_D), state.params_F)
+        stD = _mut_stats(mutD, stD)
+        return grads, (loss_D_img, loss_F_feat), (stG, stP, stD)
 
-    def _g_grads(state, new_D, new_F, mb, rng):
+    def _g_grads(state, new_D, new_F, stD, mb, rng):
         gt, ref, mask, fmask, flag = _prep(mb)
         vgg_gt = apply_vgg16(state.vgg, gt, cfg.vgg_width_scale)
         ref_feat = apply_vgg16(state.vgg, ref, cfg.vgg_width_scale).relu4_3
@@ -540,16 +571,25 @@ def _make_accum_train_step(cfg: Config, models: Models, tx, dt):
             out = two_stage_forward(models, params_G, params_P, gt, mask,
                                     ref_feat, flag, train=True, rng=rng,
                                     dtype=dt)
+            # mutated G/P stats are deliberately dropped here: this scan
+            # re-runs the D-phase forwards bit-identically (same rng; BN
+            # train outputs don't read the running stats), so their stat
+            # updates were already taken in the D phase.
             return out.fake_B, out.fake_P, out.taps
 
         (fake_B, fake_P, taps), fwd_vjp = jax.vjp(
             fwd_fn, state.params_G, state.params_P)
         vgg_fake = apply_vgg16(state.vgg, lax.stop_gradient(fake_B),
                                cfg.vgg_width_scale, upto=3)
+        vD = {"params": new_D, "batch_stats": stD} if bn else {"params": new_D}
+        gt_for_D = constrain_batch_only(gt) if bn else gt
 
         def g_loss_fn(fake_B, fake_P, taps):
-            pred_fake = models.D.apply({"params": new_D}, fake_B)
-            pred_real = models.D.apply({"params": new_D}, gt)
+            fake_in = constrain_batch_only(fake_B) if bn else fake_B
+            pred_fake, mD = models.D.apply(vD, fake_in, True,
+                                           mutable=["batch_stats"])
+            pred_real, mD = models.D.apply({**vD, **mD}, gt_for_D, True,
+                                           mutable=["batch_stats"])
             pred_fake_f = models.F.apply({"params": new_F}, vgg_fake.relu3_3)
             pred_real_f = models.F.apply({"params": new_F}, vgg_gt.relu3_3)
             loss_G_GAN = (ra_gan_loss(pred_fake, pred_real, False,
@@ -569,17 +609,17 @@ def _make_accum_train_step(cfg: Config, models: Models, tx, dt):
                 if cfg.faithful_detached_cosis:
                     cos = lax.stop_gradient(cos)  # IPSR.py:255-263
                 loss_G = loss_G + cos
-            return loss_G, (loss_G_GAN, loss_G_L1, cos)
+            return loss_G, (loss_G_GAN, loss_G_L1, cos, mD)
 
-        (_, aux), out_cots = jax.value_and_grad(
+        ((_, (loss_G_GAN, loss_G_L1, cos, mD)), out_cots) = jax.value_and_grad(
             g_loss_fn, argnums=(0, 1, 2), has_aux=True)(fake_B, fake_P, taps)
         grads = fwd_vjp(out_cots)
-        return grads, aux
+        return grads, (loss_G_GAN, loss_G_L1, cos), _mut_stats(mD, stD)
 
     def _mean_tree(tree):
         return jax.tree.map(lambda x: x / k, tree)
 
-    from ..ops.convs import conv_modes
+    from ..ops.convs import constrain_batch_only, conv_modes
 
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
                    rng: jax.Array):
@@ -595,50 +635,67 @@ def _make_accum_train_step(cfg: Config, models: Models, tx, dt):
         micro = jax.tree.map(
             lambda x: x.reshape((k, b // k) + x.shape[1:]), batch)
         rngs = jax.random.split(rng, k)
+        stats0 = (_stats_of(state.params_G), _stats_of(state.params_P),
+                  _stats_of(state.params_D))
 
         # ---- scan 1: D/F gradients vs the pre-update discriminators ----
+        # (running batch_stats — empty trees unless norm='batch' — thread
+        # through the carry so microbatch i+1's updates chain off i's)
         zero_df = jax.tree.map(jnp.zeros_like,
-                               (state.params_D, state.params_F))
+                               (params_of(state.params_D), state.params_F))
 
         def d_body(carry, xs):
             mb, r = xs
-            grads, aux = _d_grads(state, mb, r)
-            acc, aux_acc = carry
+            acc, aux_acc, stats = carry
+            grads, aux, stats = _d_grads(state, stats, mb, r)
             acc = jax.tree.map(jnp.add, acc, grads)
             aux_acc = jax.tree.map(jnp.add, aux_acc, aux)
-            return (acc, aux_acc), None
+            return (acc, aux_acc, stats), None
 
-        ((gD, gF), (loss_D_img, loss_F_feat)), _ = lax.scan(
-            d_body, (zero_df, (jnp.zeros(()), jnp.zeros(()))), (micro, rngs))
+        (((gD, gF), (loss_D_img, loss_F_feat),
+          (stG, stP, stD)), _) = lax.scan(
+            d_body, (zero_df, (jnp.zeros(()), jnp.zeros(())), stats0),
+            (micro, rngs))
         gD, gF = _mean_tree((gD, gF))
         loss_D_img, loss_F_feat = loss_D_img / k, loss_F_feat / k
-        updD, optD = tx.update(gD, state.opt_D, state.params_D)
+        updD, optD = tx.update(gD, state.opt_D, params_of(state.params_D))
         updF, optF = tx.update(gF, state.opt_F, state.params_F)
-        new_D = optax.apply_updates(state.params_D, updD)
+        new_D = optax.apply_updates(params_of(state.params_D), updD)
         new_F = optax.apply_updates(state.params_F, updF)
 
         # ---- scan 2: G/P gradients vs the UPDATED discriminators ----
+        # D's stats continue from scan 1's final (the fused step's 4-call
+        # chain, generalized); G/P stats were fully taken in scan 1.
         zero_gp = jax.tree.map(jnp.zeros_like,
                                (state.params_G, state.params_P))
 
         def g_body(carry, xs):
             mb, r = xs
-            grads, aux = _g_grads(state, new_D, new_F, mb, r)
-            acc, aux_acc = carry
+            acc, aux_acc, st_d = carry
+            grads, aux, st_d = _g_grads(state, new_D, new_F, st_d, mb, r)
             acc = jax.tree.map(jnp.add, acc, grads)
             aux_acc = jax.tree.map(jnp.add, aux_acc, aux)
-            return (acc, aux_acc), None
+            return (acc, aux_acc, st_d), None
 
-        ((gG, gP), (loss_G_GAN, loss_G_L1, loss_cos)), _ = lax.scan(
-            g_body, (zero_gp, (jnp.zeros(()), jnp.zeros(()), jnp.zeros(()))),
+        (((gG, gP), (loss_G_GAN, loss_G_L1, loss_cos), stD), _) = lax.scan(
+            g_body, (zero_gp, (jnp.zeros(()), jnp.zeros(()), jnp.zeros(())),
+                     stD),
             (micro, rngs))
-        gG, gP = _mean_tree((gG, gP))
+        gG, gP = _mean_tree((params_of(gG), params_of(gP)))
         loss_G_GAN, loss_G_L1, loss_cos = (loss_G_GAN / k, loss_G_L1 / k,
                                            loss_cos / k)
-        updG, optG = tx.update(gG, state.opt_G, state.params_G)
-        updP, optP = tx.update(gP, state.opt_P, state.params_P)
-        new_G = optax.apply_updates(state.params_G, updG)
-        new_P = optax.apply_updates(state.params_P, updP)
+        updG, optG = tx.update(gG, state.opt_G, params_of(state.params_G))
+        updP, optP = tx.update(gP, state.opt_P, params_of(state.params_P))
+        new_G = rebuild_vars(
+            state.params_G,
+            optax.apply_updates(params_of(state.params_G), updG),
+            {"batch_stats": stG} if bn else None)
+        new_P = rebuild_vars(
+            state.params_P,
+            optax.apply_updates(params_of(state.params_P), updP),
+            {"batch_stats": stP} if bn else None)
+        new_D = rebuild_vars(state.params_D, new_D,
+                             {"batch_stats": stD} if bn else None)
 
         new_state = state.replace(
             step=state.step + 1,

@@ -208,13 +208,102 @@ def test_batch_norm_state_checkpoint_roundtrip(tmp_path):
     assert leaves_delta(st.params_G, back) == 0
 
 
-def test_batch_norm_rejects_grad_accum():
-    # BN statistics don't commute with microbatching; the combination is a
-    # loud front-door error, not a silently different model.
-    cfg = Config(fine_size=32, ngf=8, ndf=8, batch_size=4, norm="batch",
-                 grad_accum=2, vgg_width_scale=1 / 8)
-    with pytest.raises(NotImplementedError, match="grad_accum"):
-        make_train_step(cfg)
+def test_batch_norm_grad_accum_semantics():
+    """norm='batch' + grad_accum (torch grad-accum semantics: each
+    microbatch normalizes by its own statistics; running stats chain
+    sequentially in call order).  Three properties on a duplicated batch
+    (k=2 identical microbatches), where per-microbatch batch statistics
+    equal the fused half-batch statistics:
+
+      (a) params after the accum step == params after the fused step on
+          the half batch (grads are linear averages of identical terms);
+      (b) G/P running stats follow the exact two-update closed form
+          s2 = (1-m)^2 s0 + (1-(1-m)^2) b, with b recovered from the fused
+          step's one-update result s1 = (1-m) s0 + m b;
+      (c) D's committed stats equal an eager replication of the full call
+          chain: per microbatch fake->real in the D phase, then twice more
+          per microbatch against the updated D (generalizing the fused
+          step's 4-call order, models/IPSR.py:211-238).
+    """
+    from deepinpainting_tpu.engine.inpaint import (
+        build_models, normalize_batch, prepare_masks, resolve_mask,
+        two_stage_forward)
+    from deepinpainting_tpu.engine.state import params_of
+    from deepinpainting_tpu.models.vgg16 import apply_vgg16
+
+    cfg = Config(fine_size=32, ngf=8, ndf=8, batch_size=2, norm="batch",
+                 use_dropout=False, mask_type="random", vgg_width_scale=1 / 8)
+    state = create_state(cfg, jax.random.PRNGKey(0))
+    half = tiny_batch(seed=5, b=2, s=32)
+    dup = {k: jnp.concatenate([v, v], axis=0) for k, v in half.items()}
+    key = jax.random.PRNGKey(3)
+
+    s_out, s_m = jax.jit(make_train_step(cfg))(state, half, key)
+    a_out, a_m = jax.jit(make_train_step(
+        cfg.replace(batch_size=4, grad_accum=2)))(state, dup, key)
+
+    for k_ in ["G_GAN", "G_L1", "D", "F", "cosis"]:
+        np.testing.assert_allclose(float(a_m[k_]), float(s_m[k_]),
+                                   rtol=2e-4, atol=1e-6, err_msg=k_)
+    # (a) params agreement — same criterion as the instance-mode accum test
+    for net in ["params_G", "params_P", "params_D", "params_F"]:
+        a = np.concatenate([np.asarray(x).ravel() for x in
+                            jax.tree_util.tree_leaves(
+                                params_of(getattr(a_out, net)))])
+        b = np.concatenate([np.asarray(x).ravel() for x in
+                            jax.tree_util.tree_leaves(
+                                params_of(getattr(s_out, net)))])
+        agree = np.isclose(a, b, rtol=1e-3, atol=1e-5).mean()
+        assert agree > 0.995, f"{net}: only {agree:.4%} agree"
+
+    # (b) G/P stats: exact sequential two-update closed form
+    m = 0.1  # TorchBatchNorm momentum (torch default)
+    for net in ["params_G", "params_P"]:
+        s0 = getattr(state, net)["batch_stats"]
+        s1 = getattr(s_out, net)["batch_stats"]
+        s2 = getattr(a_out, net)["batch_stats"]
+        for k0, k1, k2 in zip(jax.tree_util.tree_leaves(s0),
+                              jax.tree_util.tree_leaves(s1),
+                              jax.tree_util.tree_leaves(s2)):
+            b_ = (np.asarray(k1) - (1 - m) * np.asarray(k0)) / m
+            want = ((1 - m) ** 2 * np.asarray(k0)
+                    + (1 - (1 - m) ** 2) * b_)
+            np.testing.assert_allclose(np.asarray(k2), want,
+                                       rtol=1e-3, atol=5e-6)
+
+    # (c) D stats: eager oracle replicating the exact call chain
+    models = build_models(cfg)
+    nb = normalize_batch(half)
+    gt = nb["image"]
+    mask = resolve_mask(cfg, nb["mask"])
+    _, flag = prepare_masks(cfg, mask)
+    ref_feat = apply_vgg16(state.vgg, nb["ref"], cfg.vgg_width_scale).relu4_3
+    rngs = jax.random.split(key, 2)
+
+    def d_chain(vD, fake, real):
+        _, mut = models.D.apply(vD, fake, True, mutable=["batch_stats"])
+        vD = {**vD, **mut}
+        _, mut = models.D.apply(vD, real, True, mutable=["batch_stats"])
+        return {**vD, **mut}
+
+    vD = {"params": params_of(state.params_D),
+          "batch_stats": state.params_D["batch_stats"]}
+    fakes = []
+    for i in range(2):  # D phase: fake->real per microbatch, pre-update D
+        out = two_stage_forward(models, state.params_G, state.params_P, gt,
+                                mask, ref_feat, flag, train=True,
+                                rng=rngs[i])
+        fakes.append(jax.lax.stop_gradient(out.fake_B))
+        vD = d_chain(vD, fakes[-1], gt)
+    vD = {"params": params_of(a_out.params_D),  # G phase: updated D
+          "batch_stats": vD["batch_stats"]}
+    for i in range(2):
+        vD = d_chain(vD, fakes[i], gt)
+    for got, want in zip(
+            jax.tree_util.tree_leaves(a_out.params_D["batch_stats"]),
+            jax.tree_util.tree_leaves(vD["batch_stats"])):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-3, atol=5e-6)
 
 
 def test_vanilla_gan_branch_trains_finite():
