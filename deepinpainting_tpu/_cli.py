@@ -35,12 +35,42 @@ def train(argv=None):
                     help="emit a jax.profiler trace here")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (debug)")
+    ap.add_argument("--multihost", action="store_true",
+                    help="pod-slice training: run this same command on "
+                         "every host; jax.distributed.initialize() picks "
+                         "up the cluster from the environment (or "
+                         "--coordinator/--num_processes/--process_id). "
+                         "Each process decodes only its rows of the "
+                         "global batch; process 0 writes metrics/config; "
+                         "checkpoint saves are collective")
+    ap.add_argument("--coordinator", default="",
+                    help="coordinator address host:port (multihost; "
+                         "omit to autodetect from the environment)")
+    ap.add_argument("--num_processes", type=int, default=0,
+                    help="total process count (multihost autodetect if 0)")
+    ap.add_argument("--process_id", type=int, default=-1,
+                    help="this process's id (multihost autodetect if -1)")
     add_config_flags(ap)
     args = ap.parse_args(argv)
 
     if args.cpu:
         import jax
         jax.config.update("jax_platforms", "cpu")
+    if args.multihost:
+        import jax
+        kw = {}
+        if args.coordinator:
+            kw["coordinator_address"] = args.coordinator
+        if args.num_processes:
+            kw["num_processes"] = args.num_processes
+        if args.process_id >= 0:
+            kw["process_id"] = args.process_id
+        if args.cpu:  # CPU pods need the gloo cross-process collectives
+            jax.config.update("jax_cpu_collectives_implementation", "gloo")
+        jax.distributed.initialize(**kw)
+        print(f"[deepinpainting] multihost: process "
+              f"{jax.process_index()}/{jax.process_count()}, "
+              f"{jax.local_device_count()} local device(s)")
 
     field_names = {f.name for f in dataclasses.fields(Config)}
     cfg = Config(**{k: v for k, v in vars(args).items() if k in field_names})

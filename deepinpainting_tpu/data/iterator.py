@@ -29,13 +29,25 @@ class BatchIterator:
 
     def __init__(self, dataset, batch_size: int, *, shuffle: bool = True,
                  seed: int = 0, drop_last: bool = True, workers: int = 0,
-                 backend: str = "process"):
+                 backend: str = "process", rows: Optional[tuple] = None):
         if drop_last and len(dataset) < batch_size:
             raise ValueError(
                 f"dataset has {len(dataset)} items < batch_size "
                 f"{batch_size} with drop_last — every epoch would be empty")
         self.dataset = dataset
         self.batch_size = batch_size
+        # rows=(lo, hi): materialize only this [lo, hi) slice of every
+        # GLOBAL batch — multi-host training, where each process decodes
+        # just the rows its devices hold (parallel.mesh.process_batch_rows)
+        # while the shuffle order and the per-item augmentation generators
+        # stay seed-identical across processes (the full batch's rng spawn
+        # happens everywhere; only the fetches are sliced).
+        if rows is not None:
+            lo, hi = rows
+            if not (0 <= lo < hi <= batch_size):
+                raise ValueError(f"rows={rows} must be a non-empty slice of "
+                                 f"[0, {batch_size})")
+        self.rows = rows
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.rng = np.random.default_rng(seed)
@@ -64,19 +76,27 @@ class BatchIterator:
         return n // self.batch_size if self.drop_last else (
             (n + self.batch_size - 1) // self.batch_size)
 
+    def _rows(self, n: int) -> tuple:
+        return (0, n) if self.rows is None else (min(self.rows[0], n),
+                                                 min(self.rows[1], n))
+
     def _load(self, idx) -> list:
         # every path draws the SAME per-item spawned child generators, so
         # the produced data stream is bit-identical for a given seed no
         # matter the worker count or backend — training is reproducible
         # across hosts whose data_workers=-1 resolves differently
+        lo, hi = self._rows(len(idx))
         if hasattr(self.dataset, "fetch"):
-            rngs = self.rng.spawn(len(idx))
+            # spawn the FULL batch's generators (keeps the stream identical
+            # across processes with different rows), fetch only [lo, hi)
+            rngs = self.rng.spawn(len(idx))[lo:hi]
+            idx = idx[lo:hi]
             if self.workers > 0 and self.backend == "thread":
                 return list(self._tpool.map(self.dataset.fetch,
                                             [int(i) for i in idx], rngs))
             return [self.dataset.fetch(int(i), r)
                     for i, r in zip(idx, rngs)]
-        return [self.dataset[int(i)] for i in idx]
+        return [self.dataset[int(i)] for i in idx[lo:hi]]
 
     def __del__(self):
         if getattr(self, "_tpool", None) is not None:
@@ -110,9 +130,10 @@ class BatchIterator:
         pool = self.dataset.get_pool(self.workers)
 
         def submit(idx):
-            rngs = self.rng.spawn(len(idx))
-            return pool.submit(_pool_fetch_batch, [int(i) for i in idx],
-                               rngs)
+            lo, hi = self._rows(len(idx))
+            rngs = self.rng.spawn(len(idx))[lo:hi]
+            return pool.submit(_pool_fetch_batch,
+                               [int(i) for i in idx[lo:hi]], rngs)
 
         it = self._batch_indices()
         futs = deque()

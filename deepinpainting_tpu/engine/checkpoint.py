@@ -40,10 +40,13 @@ class CheckpointManager:
         # Restore-only managers (dip-evaluate / dip-serve / dip-export,
         # is_train=False) never write at all, so they can't clobber a
         # training run's config with their transient CLI overrides.
+        # config.json is process-0's to write (multi-host runs share the
+        # directory; orbax coordinates the checkpoint files themselves)
         self._cfg = cfg
-        self._config_written = False
+        self._config_written = jax.process_index() != 0
         cfg_path = os.path.join(self.directory, "config.json")
-        if cfg.is_train and not os.path.exists(cfg_path):
+        if cfg.is_train and not self._config_written \
+                and not os.path.exists(cfg_path):
             cfg.save(cfg_path)
             self._config_written = True
         # async_save: orbax's save copies device->host synchronously (so

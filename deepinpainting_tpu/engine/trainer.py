@@ -34,6 +34,16 @@ from .schedules import EarlyStopping, PlateauScheduler, lr_for_epoch
 from .state import TrainState, set_learning_rate
 
 
+class _NullLogger:
+    """Metrics sink for non-primary processes of a multi-host run: every
+    process computes the same replicated metrics, only process 0 writes."""
+
+    def log_step(self, *a, **k): pass
+    def log_epoch(self, *a, **k): pass
+    def save_loss_plot(self): pass
+    def close(self): pass
+
+
 class Trainer:
     def __init__(self, cfg: Config, train_dataset, valid_dataset=None, *,
                  out_dir: Optional[str] = None, mesh=None):
@@ -41,7 +51,9 @@ class Trainer:
         self.train_dataset = train_dataset
         self.valid_dataset = valid_dataset
         self.out_dir = out_dir or os.path.join(cfg.checkpoints_dir, cfg.name)
-        os.makedirs(self.out_dir, exist_ok=True)
+        self._primary = jax.process_index() == 0
+        if self._primary:
+            os.makedirs(self.out_dir, exist_ok=True)
         if mesh is not None:
             self.mesh = mesh
         elif cfg.sp_devices > 1:
@@ -76,10 +88,19 @@ class Trainer:
         else:
             self.train_step = pmesh.make_dp_train_step(cfg, self.mesh)
             self.eval_step = pmesh.make_dp_eval_step(cfg, self.mesh)
+        # Multi-host (`dip-train --multihost`): every process walks the
+        # identical seed-driven epoch but decodes only its own rows of each
+        # global batch; shard_batch assembles the global arrays.  Metrics /
+        # visuals / config are written by process 0 only; checkpoint saves
+        # and restores are collective (orbax).
+        self._rows = (pmesh.process_batch_rows(self.mesh, cfg.batch_size,
+                                               cfg.data_axis)
+                      if jax.process_count() > 1 else None)
         # async: the per-epoch save's disk write overlaps the validation
         # pass (reads/close synchronize first — engine/checkpoint.py)
         self.ckpt = CheckpointManager(cfg, async_save=True)
-        self.logger = MetricsLogger(self.out_dir)
+        self.logger = (MetricsLogger(self.out_dir) if self._primary
+                       else _NullLogger())
         self.early = EarlyStopping(cfg.early_stop_patience)
         self.plateau = (PlateauScheduler(cfg.lr)
                         if cfg.lr_policy == "plateau" else None)
@@ -115,7 +136,8 @@ class Trainer:
                     total_steps: int):
         cfg = self.cfg
         it = BatchIterator(self.train_dataset, cfg.batch_size,
-                           seed=cfg.seed + epoch, workers=cfg.data_workers)
+                           seed=cfg.seed + epoch, workers=cfg.data_workers,
+                           rows=self._rows)
         losses = []
         window = []  # buffered (step, device-metrics) awaiting ONE fetch
         every = max(1, cfg.metrics_every)
@@ -155,7 +177,8 @@ class Trainer:
         if self.valid_dataset is None:
             return float("nan")
         it = BatchIterator(self.valid_dataset, self.cfg.batch_size,
-                           shuffle=False, workers=self.cfg.data_workers)
+                           shuffle=False, workers=self.cfg.data_workers,
+                           rows=self._rows)
         losses = [float(self.eval_step(state, b)["loss_valid"])
                   for b in device_batches(iter(it), self.mesh,
                                           self.cfg.data_axis)]
@@ -165,6 +188,14 @@ class Trainer:
         # train.ipynb cell 2 display_freq grid: real_A, real_B, fake_P, fake_B
         out = self.eval_step(state, batch)
         vis = out["visuals"]
+        if jax.process_count() > 1:
+            # the eval step (and this gather) is collective — every process
+            # executes it; only process 0 touches the filesystem below
+            from jax.experimental import multihost_utils
+            vis = {k: multihost_utils.process_allgather(v, tiled=True)
+                   for k, v in vis.items()}
+        if not self._primary:
+            return
         imgs = [np.asarray(vis[k])[0]
                 for k in ("real_A", "real_B", "fake_P", "fake_B")]
         imaging.save_grid(imgs, os.path.join(

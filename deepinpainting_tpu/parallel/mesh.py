@@ -68,6 +68,87 @@ def make_mesh_for_batch(batch_size: int, axis: str = "data",
     return make_mesh(devices[:n], axis)
 
 
+def _check_sp_rows_process_local(mesh: Mesh, data_axis: str = "data") -> None:
+    """Multi-host + SP precondition: one batch shard's H slabs on one host.
+
+    `jax.make_array_from_process_local_data` is fed full-height local rows,
+    which is only consistent when, for every index along the data axis, all
+    the devices of that mesh row (its "sp" slabs) belong to a single
+    process.  A mesh that spreads one image's H slabs across hosts would
+    also route every conv halo exchange over DCN — refuse it readably.
+    """
+    grid = mesh.devices  # ndarray shaped like mesh.axis_names
+    names = list(mesh.axis_names)
+    if data_axis not in names:
+        raise NotImplementedError(
+            "multi-host + pure spatial partitioning (no data axis) would "
+            "shard one image's height across hosts (conv halos over DCN); "
+            "use a 2-D (data x sp) mesh with the sp axis inside each host")
+    d = names.index(data_axis)
+    moved = np.moveaxis(grid, d, 0)
+    for i in range(moved.shape[0]):
+        procs = {dev.process_index
+                 for dev in np.atleast_1d(moved[i]).ravel()}
+        if len(procs) > 1:
+            raise ValueError(
+                f"multi-host + SP needs each data-axis row on one process; "
+                f"row {i} spans processes {sorted(procs)}.  Lay the mesh out "
+                f"process-major (make_dp_sp_mesh over jax.devices() does)")
+
+
+def _assemble_multihost_sp(batch: Dict[str, Any], mesh: Mesh,
+                           sharding: NamedSharding, data_axis: str = "data"
+                           ) -> Dict[str, Any]:
+    """Multi-host DP x SP: global H-sharded arrays from full-height local rows.
+
+    The canonical pod topology (MIGRATION.md non-goals): the data axis
+    spans hosts, the sp axis stays host-local, so every conv halo exchange
+    rides intra-host ICI and never DCN.  Each process loads only its
+    contiguous rows of the global batch AT FULL HEIGHT; the H split onto
+    that process's own devices ("cutting the H-shards on-process") is done
+    here by `jax.make_array_from_process_local_data`, which slices the
+    local rows per the sharding's device->index map.  Verified by
+    tests/test_multihost.py (2 processes x 2 local devices on a
+    (2 data x 2 sp) mesh).
+    """
+    _check_sp_rows_process_local(mesh, data_axis)
+    return {k: jax.make_array_from_process_local_data(sharding, np.asarray(v))
+            for k, v in batch.items()}
+
+
+def process_batch_rows(mesh: Mesh, batch_size: int,
+                       axis: str = "data") -> tuple:
+    """[lo, hi) rows of the global batch held by THIS process's devices.
+
+    Multi-host training (`dip-train --multihost`): every process walks the
+    identical seed-driven epoch stream but decodes only these rows; the
+    sharded global batch is then assembled by `shard_batch`.  Derived from
+    the mesh's device->process map, so it is correct for any process-major
+    layout and fails loudly on interleaved ones.
+    """
+    names = list(mesh.axis_names)
+    if axis not in names:
+        return 0, batch_size  # batch axis unsharded: every process loads all
+    n = dict(mesh.shape)[axis]
+    check_batch_divisible(batch_size, mesh, axis)
+    per = batch_size // n
+    me = jax.process_index()
+    moved = np.moveaxis(mesh.devices, names.index(axis), 0)
+    mine = [i for i in range(n)
+            if any(d.process_index == me
+                   for d in np.atleast_1d(moved[i]).ravel())]
+    if not mine:
+        return 0, 0  # this process's devices are outside the mesh
+    if mine != list(range(mine[0], mine[-1] + 1)):
+        raise ValueError(
+            f"process {me} holds non-contiguous data rows {mine}; lay the "
+            f"mesh out process-major (make_mesh/make_dp_sp_mesh over "
+            f"jax.devices() do)")
+    # a data row split across processes (each holding part of its sp slabs)
+    # is rejected by _check_sp_rows_process_local at placement time
+    return mine[0] * per, (mine[-1] + 1) * per
+
+
 def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
     return NamedSharding(mesh, P(axis))
 
@@ -89,15 +170,12 @@ def shard_batch(batch: Dict[str, Any], mesh: Mesh,
     """
     if "sp" in mesh.axis_names:
         # 2-D (data x sp) training mesh (parallel/spatial.py): the image
-        # height is sharded too.  Multi-host SP would need each process's
-        # local slab geometry worked out against the mesh layout — not a
-        # supported combination yet.
-        if jax.process_count() > 1:
-            raise NotImplementedError(
-                "multi-host + spatial partitioning is not supported")
+        # height is sharded too.
         from .spatial import spatial_sharding
-        return jax.device_put(batch, spatial_sharding(
-            mesh, "sp", axis if axis in mesh.axis_names else None))
+        sh = spatial_sharding(mesh, "sp", axis if axis in mesh.axis_names else None)
+        if jax.process_count() > 1:
+            return _assemble_multihost_sp(batch, mesh, sh, axis)
+        return jax.device_put(batch, sh)
     sh = batch_sharding(mesh, axis)
     if jax.process_count() > 1:
         return {k: jax.make_array_from_process_local_data(sh, np.asarray(v))

@@ -90,6 +90,38 @@ def test_batch_iterator_shapes_and_drop_last(data_dirs):
         assert b["mask"].shape == (2, S, S)
 
 
+def test_batch_iterator_rows_slices_global_stream(data_dirs):
+    """rows=(lo, hi) (multi-host per-process decode) yields exactly that
+    slice of every global batch — same shuffle order, same per-item
+    augmentation generators — across serial and thread backends."""
+    ds = InpaintDataset(data_dirs["img"], data_dirs["mask"],
+                        data_dirs["ref"], fine_size=S)
+    full = list(BatchIterator(ds, batch_size=4, seed=9))
+    for backend, workers in (("process", 0), ("thread", 2)):
+        for lo, hi in ((0, 2), (2, 4), (1, 3)):
+            part = list(BatchIterator(ds, batch_size=4, seed=9,
+                                      rows=(lo, hi), backend=backend,
+                                      workers=workers))
+            assert len(part) == len(full)
+            for fb, pb in zip(full, part):
+                for k in fb:
+                    np.testing.assert_array_equal(fb[k][lo:hi], pb[k])
+    with pytest.raises(ValueError):
+        BatchIterator(ds, batch_size=4, rows=(2, 2))
+
+
+def test_process_batch_rows_contiguous_mapping():
+    import jax
+    from deepinpainting_tpu.parallel import mesh as pmesh
+    mesh = pmesh.make_mesh(jax.devices()[:4])
+    # single process: owns every row
+    assert pmesh.process_batch_rows(mesh, 8) == (0, 8)
+    # unsharded batch axis (axis name not in mesh)
+    assert pmesh.process_batch_rows(mesh, 8, axis="model") == (0, 8)
+    with pytest.raises(ValueError):
+        pmesh.process_batch_rows(mesh, 6)  # indivisible
+
+
 def test_prefetch_preserves_order_and_raises():
     assert list(prefetch(iter(range(10)))) == list(range(10))
 

@@ -10,6 +10,11 @@ arrays, and one DP train step must reproduce the single-process step on
 the full batch — the same parity contract tests/test_parallel.py proves
 for single-process DP.  Skips (not fails) when the environment can't run
 2-process distributed JAX.
+
+Also the multi-host + SP combination (2 processes x 2 local devices on a
+(2 data x 2 sp) mesh): each process loads its batch rows at full height,
+`shard_batch`'s sp arm assembles the global H-sharded arrays, and the
+DP x SP step must again reproduce the single-process step.
 """
 
 import json
@@ -81,9 +86,62 @@ def _free_port():
 
 @pytest.fixture(scope="module")
 def worker_metrics(tmp_path_factory):
-    tmp = tmp_path_factory.mktemp("mh")
+    return _run_workers(tmp_path_factory.mktemp("mh"), _WORKER)
+
+
+_WORKER_SP = f"""
+import json, sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 2)
+pid, port, out = int(sys.argv[1]), sys.argv[2], sys.argv[3]
+try:
+    jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    jax.distributed.initialize("localhost:" + port, num_processes=2,
+                               process_id=pid)
+except Exception as e:
+    print("SKIP: distributed init failed: " + repr(e), flush=True)
+    sys.exit(0)
+
+import numpy as np
+sys.path.insert(0, {os.path.dirname(os.path.dirname(os.path.abspath(__file__)))!r})
+from deepinpainting_tpu.config import Config
+from deepinpainting_tpu import parallel as PP
+from deepinpainting_tpu.engine import create_state
+
+assert jax.process_count() == 2
+assert jax.local_device_count() == 2
+cfg = Config({_CFG_KW})
+# (2 data x 2 sp) over process-major jax.devices(): each data row (one
+# batch shard x both its H slabs) lands on one process, so each process
+# loads its batch rows at FULL height and the sp split stays on-host.
+mesh = PP.make_dp_sp_mesh(2, 2)
+state = PP.replicate_state(create_state(cfg, jax.random.PRNGKey(0)), mesh)
+step = PP.make_dp_sp_train_step(cfg, mesh)
+
+rng = np.random.default_rng(3)
+img = rng.uniform(-1, 1, (4, 32, 32, 3)).astype(np.float32)
+ref = rng.uniform(-1, 1, (4, 32, 32, 3)).astype(np.float32)
+mask = np.zeros((4, 32, 32), np.float32)
+mask[:, 8:24, 10:22] = 1.0
+lo, hi = pid * 2, pid * 2 + 2
+local = dict(image=img[lo:hi], mask=mask[lo:hi], ref=ref[lo:hi])
+batch = PP.shard_batch(local, mesh)  # multi-host + sp arm
+assert batch["image"].shape == (4, 32, 32, 3)  # global shape assembled
+assert batch["mask"].shape == (4, 32, 32)
+
+new_state, metrics = step(state, batch, jax.random.PRNGKey(7))
+rec = dict((k, float(v)) for k, v in metrics.items())
+rec["step"] = int(new_state.step)
+with open(out, "w") as f:
+    json.dump(rec, f)
+print("OK", flush=True)
+"""
+
+
+def _run_workers(tmp, source):
     script = tmp / "worker.py"
-    script.write_text(_WORKER)
+    script.write_text(source)
     port = str(_free_port())
     env = dict(os.environ, JAX_PLATFORMS="cpu")
     env.pop("XLA_FLAGS", None)  # workers manage their own device counts
@@ -109,6 +167,205 @@ def worker_metrics(tmp_path_factory):
             pytest.skip(f"distributed init unavailable: {stdout.strip()}")
         assert rc == 0, f"worker failed:\n{stdout}\n{stderr[-2000:]}"
     return [json.loads(o.read_text()) for o in outs]
+
+
+@pytest.fixture(scope="module")
+def worker_sp_metrics(tmp_path_factory):
+    return _run_workers(tmp_path_factory.mktemp("mhsp"), _WORKER_SP)
+
+
+def _single_step_metrics():
+    import jax
+    from deepinpainting_tpu.config import Config
+    from deepinpainting_tpu.engine import create_state, make_train_step
+
+    cfg = Config(fine_size=32, ngf=8, ndf=8, batch_size=4,
+                 use_dropout=False, vgg_width_scale=1 / 8,
+                 mask_type="random")
+    rng = np.random.default_rng(3)
+    img = rng.uniform(-1, 1, (4, 32, 32, 3)).astype(np.float32)
+    ref = rng.uniform(-1, 1, (4, 32, 32, 3)).astype(np.float32)
+    mask = np.zeros((4, 32, 32), np.float32)
+    mask[:, 8:24, 10:22] = 1.0
+    batch = {"image": img, "mask": mask, "ref": ref}
+    single = jax.jit(make_train_step(cfg))
+    _, s_metrics = single(create_state(cfg, jax.random.PRNGKey(0)),
+                          batch, jax.random.PRNGKey(7))
+    return s_metrics
+
+
+def test_multihost_sp_step_matches_single_process(worker_sp_metrics):
+    """One 2-process DP x SP step — each process holding its half of the
+    batch at full height, H split on-host by the sp axis — reproduces the
+    single-process step (the VERDICT-r3-era NotImplementedError arm of
+    shard_batch, now implemented)."""
+    s_metrics = _single_step_metrics()
+    m0, m1 = worker_sp_metrics
+    assert m0["step"] == 1
+    for k in m0:
+        np.testing.assert_allclose(m0[k], m1[k], rtol=1e-6, err_msg=k)
+    # same tolerances as the DP test / tests/test_parallel dp x sp parity
+    for k in ("G_L1", "D"):
+        np.testing.assert_allclose(m0[k], float(s_metrics[k]), rtol=5e-4,
+                                   err_msg=k)
+    np.testing.assert_allclose(m0["G_GAN"], float(s_metrics["G_GAN"]),
+                               rtol=0.2, err_msg="G_GAN (loose)")
+
+
+_WORKER_FIT = f"""
+import json, os, sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+pid, port, root = int(sys.argv[1]), sys.argv[2], sys.argv[3]
+try:
+    jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    jax.distributed.initialize("localhost:" + port, num_processes=2,
+                               process_id=pid)
+except Exception as e:
+    print("SKIP: distributed init failed: " + repr(e), flush=True)
+    sys.exit(0)
+
+import numpy as np
+sys.path.insert(0, {os.path.dirname(os.path.dirname(os.path.abspath(__file__)))!r})
+from deepinpainting_tpu.config import Config
+from deepinpainting_tpu.data import InpaintDataset
+from deepinpainting_tpu.engine.checkpoint import export_network_npz
+from deepinpainting_tpu.engine.trainer import Trainer
+
+cfg = Config(fine_size=32, ngf=8, ndf=8, batch_size=4, use_dropout=False,
+             vgg_width_scale=1 / 8, mask_type="random", seed=3,
+             checkpoints_dir=os.path.join(root, "ck_mh"), niter=1,
+             niter_decay=1, display_freq=0, save_epoch_freq=1,
+             metrics_every=1, data_workers=0)
+ds = InpaintDataset(os.path.join(root, "img"), os.path.join(root, "mask"),
+                    os.path.join(root, "ref"), 32, seed=cfg.seed)
+trainer = Trainer(cfg, ds)   # global 2-device DP mesh, one device/process
+assert trainer._rows == (pid * 2, pid * 2 + 2), trainer._rows
+state = trainer.fit()
+if pid == 0:
+    export_network_npz(state.params_G,
+                       os.path.join(root, "final_params_G.npz"))
+    export_network_npz(state.params_D,
+                       os.path.join(root, "final_params_D.npz"))
+print("OK", flush=True)
+"""
+
+
+@pytest.fixture(scope="module")
+def fit_root(tmp_path_factory):
+    """Synthetic train data shared by the multi-host workers and the
+    single-process reference run."""
+    from PIL import Image
+    root = tmp_path_factory.mktemp("mhfit")
+    rng = np.random.default_rng(0)
+    for name, n in [("img", 8), ("ref", 8), ("mask", 2)]:
+        d = root / name
+        d.mkdir()
+        for i in range(n):
+            if name == "mask":
+                a = np.zeros((32, 32, 3), np.uint8)
+                a[8:24, 8:24] = 255
+                Image.fromarray(a).save(d / f"m{i}.png")
+            else:
+                a = rng.integers(0, 255, (32, 32, 3), dtype=np.uint8)
+                Image.fromarray(a).save(d / f"x{i}.jpg")
+    return root
+
+
+@pytest.fixture(scope="module")
+def fit_artifacts(fit_root, tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("mhfitrun")
+    script = tmp / "worker.py"
+    script.write_text(_WORKER_FIT)
+    port = str(_free_port())
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env.pop("XLA_FLAGS", None)
+    procs = []
+    for pid in (0, 1):
+        procs.append(subprocess.Popen(
+            [sys.executable, str(script), str(pid), port, str(fit_root)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            text=True))
+    results = []
+    for p in procs:
+        try:
+            stdout, stderr = p.communicate(timeout=900)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.skip("2-process distributed JAX timed out here")
+        results.append((p.returncode, stdout, stderr))
+    for rc, stdout, stderr in results:
+        if "SKIP:" in stdout:
+            pytest.skip(f"distributed init unavailable: {stdout.strip()}")
+        assert rc == 0, f"worker failed:\n{stdout}\n{stderr[-2000:]}"
+    return fit_root
+
+
+def _fit_cfg(root, ck):
+    from deepinpainting_tpu.config import Config
+    return Config(fine_size=32, ngf=8, ndf=8, batch_size=4,
+                  use_dropout=False, vgg_width_scale=1 / 8,
+                  mask_type="random", seed=3, checkpoints_dir=str(ck),
+                  niter=1, niter_decay=1, display_freq=0, save_epoch_freq=1,
+                  metrics_every=1, data_workers=0)
+
+
+def test_multihost_fit_matches_single_process(fit_artifacts, tmp_path):
+    """A full 2-process `Trainer.fit` (each process decoding only its rows
+    of the seed-identical epoch stream) lands on the single-process run's
+    final parameters, and its collectively-saved checkpoint restores in a
+    plain single-process CheckpointManager (README multi-host section)."""
+    import jax
+    from deepinpainting_tpu.data import InpaintDataset
+    from deepinpainting_tpu.engine.checkpoint import (CheckpointManager,
+                                                      import_network_npz)
+    from deepinpainting_tpu.engine.inpaint import create_state
+    from deepinpainting_tpu.engine.trainer import Trainer
+    from deepinpainting_tpu.parallel import mesh as pmesh
+
+    root = fit_artifacts
+    cfg = _fit_cfg(root, tmp_path / "ck_single")
+    ds = InpaintDataset(str(root / "img"), str(root / "mask"),
+                        str(root / "ref"), 32, seed=cfg.seed)
+    trainer = Trainer(cfg, ds, mesh=pmesh.make_mesh(jax.devices()[:1]))
+    single_state = trainer.fit()
+
+    # (a) final params parity with the single-process run — the contract of
+    # tests/test_parallel's DP==single params check, compounded over the 4
+    # optimizer steps of this run: divergence must stay Adam-shaped (each
+    # step moves a param by at most ~lr, so a near-tie gradient sign flip
+    # between the two compilations costs <= 2*lr per step) and confined to
+    # a small fraction of params.
+    mh_G = import_network_npz(single_state.params_G,
+                              str(root / "final_params_G.npz"))
+    mh_D = import_network_npz(single_state.params_D,
+                              str(root / "final_params_D.npz"))
+    for got, want in ((mh_G, single_state.params_G),
+                      (mh_D, single_state.params_D)):
+        a = np.concatenate([np.asarray(x).ravel()
+                            for x in jax.tree_util.tree_leaves(got)])
+        b = np.concatenate([np.asarray(x).ravel()
+                            for x in jax.tree_util.tree_leaves(want)])
+        assert np.abs(a - b).max() <= 4 * 2.2 * cfg.lr, \
+            "non-Adam-shaped divergence"
+        agree = np.isclose(a, b, rtol=1e-3, atol=1e-5).mean()
+        assert agree > 0.9, f"only {agree:.4%} of params agree"
+
+    # (b) the multi-host checkpoint restores in a single-process manager
+    # and carries exactly the final multi-host params (save_epoch_freq=1:
+    # the last save IS the final state; params don't change afterwards)
+    cfg_mh = _fit_cfg(root, root / "ck_mh")
+    mgr = CheckpointManager(cfg_mh)
+    assert mgr.latest_epoch() == 2
+    restored = mgr.restore(2, create_state(cfg_mh, jax.random.PRNGKey(0)))
+    mgr.close()
+    for got, want in ((restored.params_G, mh_G), (restored.params_D, mh_D)):
+        ga = jax.tree_util.tree_leaves(got)
+        wa = jax.tree_util.tree_leaves(want)
+        assert len(ga) == len(wa)
+        for x, y in zip(ga, wa):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
 
 
 def test_multihost_dp_step_matches_single_process(worker_metrics):
