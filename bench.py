@@ -183,6 +183,48 @@ def _collect_qualified(measure_once, repeats, max_repeats, qualify_min,
         _sleep(min(settle_s, remaining))
 
 
+def _collect_windows(measure_once, repeats, max_repeats, qualify_min,
+                     label="", windows=1, gap_s=None, _now=time.time,
+                     _sleep=time.sleep):
+    """k >= 1 qualified windows spaced over the run (VERDICT r4 weak #1:
+    the record drifted 873 -> 846 across rounds/hours with nothing
+    bounding within-run drift vs a real regression).
+
+    Each window self-qualifies via `_collect_qualified`; windows are
+    separated by `gap_s` (default BENCH_WINDOW_GAP_S, 90 s) so they sample
+    different tunnel weather.  Published value = the MEDIAN window's
+    median; `band_pct` = (max - min) / median over the window medians —
+    the measured within-run drift band that cross-day comparisons should
+    be read against.
+
+    Returns (median window's sorted estimates, total stalls,
+    any-window-unstable, band_pct, n_windows)."""
+    if gap_s is None:
+        gap_s = float(os.environ.get("BENCH_WINDOW_GAP_S", "90"))
+    results = []
+    for w in range(windows):
+        if w:
+            _sleep(gap_s)
+        results.append(_collect_qualified(
+            measure_once, repeats, max_repeats, qualify_min,
+            label=f"{label} w{w + 1}/{windows}" if windows > 1 else label,
+            _now=_now, _sleep=_sleep))
+    meds = sorted(s[len(s) // 2] for s, _, _ in results)
+    med_of_meds = meds[len(meds) // 2]
+    band = (meds[-1] - meds[0]) / med_of_meds * 100.0
+    mid = min(range(len(results)),
+              key=lambda i: abs(results[i][0][len(results[i][0]) // 2]
+                                - med_of_meds))
+    s_mid = results[mid][0]
+    total_stalls = sum(r[1] for r in results)
+    unstable = any(r[2] for r in results)
+    if windows > 1:
+        print(f"[bench] {label}: {windows} windows, medians "
+              f"{[round(m * 1e3, 2) for m in meds]} ms/iter, band "
+              f"{band:.1f}%", file=sys.stderr)
+    return s_mid, total_stalls, unstable, band, windows
+
+
 def _assign_winner_stats(out, spread, core, stalls, unstable):
     """(Re)assign ALL winner-qualification stats together, clearing any
     previous winner's, so a losing batch's stall count or instability flag
@@ -243,7 +285,7 @@ def measure_ours(batch_sizes=(32,), size=256, iters=64,
             return fake_B
         return jax.lax.fori_loop(0, n, body, x)
 
-    def _timed(b, n):
+    def _timed(b, n, windows=1):
         """Per-iter seconds by long/short differencing (overhead cancels).
 
         One compile per batch size (dynamic trip count); `repeats`
@@ -253,9 +295,12 @@ def measure_ours(batch_sizes=(32,), size=256, iters=64,
         the median holds (BENCH_r02: 16.6%; 2026-08-18 probe log: >100%);
         the stall/escalation/self-qualification defenses — incl. the
         BENCH_QUALIFY_MIN window budget and the unstable flag — live in
-        `_collect_qualified` (see its docstring).
+        `_collect_qualified`, and `windows` > 1 collects that many
+        qualified windows spaced over the run to bound within-run drift
+        (`_collect_windows`).
 
-        Returns (sorted per-iter estimates, total stalls, unstable)."""
+        Returns (median window's sorted estimates, total stalls, unstable,
+        band_pct, n_windows)."""
         img, mask, _ = _example(b, size)
         gt, mk = jnp.asarray(img), jnp.asarray(mask)
         n_small = max(2, n // 8)
@@ -271,20 +316,25 @@ def measure_ours(batch_sizes=(32,), size=256, iters=64,
             t2 = time.time()
             return ((t2 - t1) - (t1 - t0)) / n
 
-        return _collect_qualified(once, repeats, max_repeats, qualify_min,
-                                  label=f"batch {b} ({size}px)")
+        return _collect_windows(once, repeats, max_repeats, qualify_min,
+                                label=f"batch {b} ({size}px)",
+                                windows=windows)
 
+    # k qualified windows for the throughput record (VERDICT r4 weak #1);
+    # the b1 latency stays single-window (latency comparisons are coarser)
+    n_windows = max(1, int(os.environ.get("BENCH_WINDOWS", "3")))
     out = {}
     best, best_b = 0.0, batch_sizes[0]
     for b in batch_sizes:
-        ts, stalls, unstable = _timed(b, iters)
+        ts, stalls, unstable, band, nw = _timed(b, iters, windows=n_windows)
         med = ts[len(ts) // 2]
         ips = b / med
         spread = (ts[-1] - ts[0]) / med * 100.0
         core = _core_spread(ts) * 100.0
         print(f"[bench] ours batch={b}: {ips:.1f} img/s "
               f"({med * 1000:.2f} ms/iter, {len(ts)} repeats, "
-              f"spread {spread:.1f}% core {core:.1f}%"
+              f"spread {spread:.1f}% core {core:.1f}%, "
+              f"band {band:.1f}% over {nw} windows"
               f"{', UNSTABLE' if unstable else ''})", file=sys.stderr)
         out[f"p50_ms_per_image_b{b}"] = round(med * 1000 / b, 3)
         if unstable:
@@ -294,10 +344,12 @@ def measure_ours(batch_sizes=(32,), size=256, iters=64,
         if ips > best:
             best, best_b = ips, b
             _assign_winner_stats(out, spread, core, stalls, unstable)
+            out["window_band_pct"] = round(band, 2)
+            out["n_windows"] = nw
 
     if with_b1 and 1 not in batch_sizes:
         try:
-            ts1, _, unstable1 = _timed(1, iters)
+            ts1, _, unstable1, _, _ = _timed(1, iters)
             out["p50_ms_per_image_b1"] = round(ts1[len(ts1) // 2] * 1000, 3)
             if unstable1:
                 out["unstable_b1"] = True
@@ -381,7 +433,7 @@ def _flops_per_image(size, dtype, attn, b):
     return cache[key] / b
 
 
-def measure_reference_cpu(n_images=2, size=256):
+def measure_reference_cpu(n_images=10, size=256):
     """Drive the reference's torch networks on CPU (CUDA stubbed).
 
     The reference's VGG16 needs torchvision (absent); the attention layer
@@ -449,21 +501,30 @@ def measure_reference_cpu(n_images=2, size=256):
             return netG(middle)
 
     one()  # warmup
-    t = time.time()
+    times = []
     for _ in range(n_images):
+        t = time.time()
         one()
-    dt = time.time() - t
-    return n_images / dt
+        times.append(time.time() - t)
+    times.sort()
+    med = times[len(times) // 2]
+    spread_pct = (times[-1] - times[0]) / med * 100.0
+    return n_images / sum(times), n_images, spread_pct
 
 
 def get_baseline():
     if os.path.exists(_BASELINE_CACHE):
         with open(_BASELINE_CACHE) as f:
-            return json.load(f)["reference_cpu_images_per_sec"]
+            cached = json.load(f)
+        # re-measure thin records (VERDICT r4 weak #2: the artifact of
+        # record rested on an n=2 forward sample with no spread)
+        if cached.get("n", 0) >= 10:
+            return cached["reference_cpu_images_per_sec"]
     try:
-        ips = measure_reference_cpu()
+        ips, n, spread_pct = measure_reference_cpu()
         with open(_BASELINE_CACHE, "w") as f:
-            json.dump({"reference_cpu_images_per_sec": ips,
+            json.dump({"reference_cpu_images_per_sec": ips, "n": n,
+                       "per_image_spread_pct": round(spread_pct, 2),
                        "note": "reference torch nets on CPU, CUDA stubbed, "
                                "VGG excluded (favors reference)"}, f)
         return ips

@@ -58,6 +58,18 @@ def train(argv=None):
         jax.config.update("jax_platforms", "cpu")
     if args.multihost:
         import jax
+        # the trio is all-or-none: jax.distributed.initialize with a
+        # partial set (e.g. --process_id without --coordinator) fails deep
+        # inside JAX with an obscure error, so catch it at argparse level
+        # (ADVICE r4)
+        given = [bool(args.coordinator), args.num_processes > 0,
+                 args.process_id >= 0]
+        if any(given) and not all(given):
+            ap.error(
+                "--coordinator/--num_processes/--process_id must be given "
+                "together (or all omitted, in which case "
+                "jax.distributed.initialize autodetects the cluster from "
+                "the environment)")
         kw = {}
         if args.coordinator:
             kw["coordinator_address"] = args.coordinator
@@ -110,6 +122,13 @@ def evaluate(argv=None):
     ap.add_argument("--quant", default="", choices=["", "none", "int8"],
                     help="override the checkpoint config's quant mode "
                          "(int8 = dynamic-int8 convs, ops/quant.py)")
+    ap.add_argument("--faithful_known_replacement", default="",
+                    choices=["", "true", "false"],
+                    help="override the checkpoint config's known-position "
+                         "replacement quirk (an inference-time behavior — "
+                         "see Config.faithful_known_replacement); useful "
+                         "for A/B-ing an existing checkpoint under both "
+                         "modes")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args(argv)
 
@@ -133,6 +152,9 @@ def evaluate(argv=None):
         cfg = cfg.replace(vgg_weights=args.vgg_weights)
     if args.quant:
         cfg = cfg.replace(quant=args.quant)
+    if args.faithful_known_replacement:
+        cfg = cfg.replace(
+            faithful_known_replacement=args.faithful_known_replacement == "true")
 
     mgr = CheckpointManager(cfg)
     state = mgr.restore(args.which_epoch,

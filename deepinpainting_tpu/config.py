@@ -58,6 +58,13 @@ class Config:
     # behavior.
     faithful_backward_truncation: bool = True   # LongTensor-truncated attention rows in bwd
     faithful_detached_cosis: bool = True        # InnerCos losses detached from G grads
+    faithful_known_replacement: bool = True     # attention rewrites KNOWN
+    # (unmasked) positions with their best-ref-matching patch instead of
+    # identity (IPSRFunction.py:127-129) — the one quirk that changes
+    # INFERENCE output.  False = corrected identity-on-known mode
+    # (ops/attention.py _apply_known_replacement).  Measured on the demo
+    # protocol (artifacts/train_demo_corrected README, known-replacement
+    # section) before choosing the default.
     attention_impl: str = "pallas"              # 'pallas' | 'lax' (e2e a wash at 256px, pallas wins isolated + at 512px; interprets on CPU)
     remat: bool = False            # checkpoint U-Net levels (jax.checkpoint
     # via nn.remat): backward recomputes levels instead of storing their

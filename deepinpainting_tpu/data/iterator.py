@@ -47,6 +47,16 @@ class BatchIterator:
             if not (0 <= lo < hi <= batch_size):
                 raise ValueError(f"rows={rows} must be a non-empty slice of "
                                  f"[0, {batch_size})")
+            if not drop_last:
+                # multi-host row slicing only makes sense for full
+                # fixed-size global batches: a short tail batch would make
+                # the [lo, hi) slice inconsistent with the global assembly
+                # (or empty) — reject the combination instead of clamping
+                # (ADVICE r4)
+                raise ValueError(
+                    "rows requires drop_last=True (multi-host decode "
+                    "slices fixed-size global batches; a ragged tail "
+                    "batch has no consistent per-process rows)")
         self.rows = rows
         self.shuffle = shuffle
         self.drop_last = drop_last
@@ -77,8 +87,9 @@ class BatchIterator:
             (n + self.batch_size - 1) // self.batch_size)
 
     def _rows(self, n: int) -> tuple:
-        return (0, n) if self.rows is None else (min(self.rows[0], n),
-                                                 min(self.rows[1], n))
+        # rows implies drop_last (checked in __init__), so n is always the
+        # full batch_size here — no clamping needed
+        return (0, n) if self.rows is None else self.rows
 
     def _load(self, idx) -> list:
         # every path draws the SAME per-item spawned child generators, so

@@ -40,7 +40,8 @@ def _pad_tail(batches, batch_size: int):
 
 def evaluate(cfg: Config, state: TrainState, dataset, *,
              max_images: int = 500, save_dir: Optional[str] = None,
-             mesh=None, verbose: bool = True) -> Dict[str, float]:
+             mesh=None, verbose: bool = True,
+             return_per_image: bool = False) -> Dict[str, float]:
     if mesh is None:
         # auto-shrink to a data axis that divides the batch (VERDICT r3
         # weak #2: the default batch_size=1 must not crash on multi-chip)
@@ -52,6 +53,7 @@ def evaluate(cfg: Config, state: TrainState, dataset, *,
                        drop_last=False, workers=cfg.data_workers)
     total = min(max_images, len(dataset))
     psnr_sum = ssim_sum = 0.0
+    per_psnr, per_ssim = [], []
     n = 0
     # Bound the stream at the SOURCE so the generator chain exhausts
     # naturally: breaking out of device_batches would abandon the prefetch
@@ -73,6 +75,8 @@ def evaluate(cfg: Config, state: TrainState, dataset, *,
             p, s = float(psnr_v[i]), float(ssim_v[i])
             psnr_sum += p
             ssim_sum += s
+            per_psnr.append(p)
+            per_ssim.append(s)
             n += 1
             if vis is not None:
                 imaging.save_grid(
@@ -83,6 +87,11 @@ def evaluate(cfg: Config, state: TrainState, dataset, *,
                 print("%d. PSNR : %f, SSIM : %f" % (n, p, s))
     result = {"psnr": psnr_sum / max(n, 1), "ssim": ssim_sum / max(n, 1),
               "images": n}
+    if return_per_image:
+        # the exact per-image series the averages came from (eval-protocol
+        # parity testing against the reference's test.ipynb cell-3 loop)
+        result["psnr_per_image"] = per_psnr
+        result["ssim_per_image"] = per_ssim
     if verbose:
         print("PSNR_average : %.2f, SSIM_average : %.3f"
               % (result["psnr"], result["ssim"]))

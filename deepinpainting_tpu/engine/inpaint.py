@@ -105,6 +105,7 @@ def build_models(cfg: Config) -> Models:
                             triple_weight=cfg.triple_weight,
                             truncate_backward=cfg.faithful_backward_truncation,
                             attention_impl=cfg.attention_impl,
+                            known_replacement=cfg.faithful_known_replacement,
                             norm=cfg.norm, init_gain=cfg.init_gain,
                             init_type=cfg.init_type, remat=cfg.remat,
                             remat_depth=cfg.remat_depth),

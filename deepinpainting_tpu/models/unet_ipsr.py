@@ -55,6 +55,7 @@ class UnetBlock3(nn.Module):
     triple_weight: float = 1.0
     truncate_backward: bool = True
     attention_impl: str = "lax"
+    known_replacement: bool = True
     norm: str = "instance"
     init_gain: float = 0.02
     init_type: str = "normal"
@@ -99,7 +100,7 @@ class UnetBlock3(nn.Module):
                     y = ipsr_attention_batched(
                         y, aux["ref_feat"].astype(y.dtype), aux["flag"],
                         self.triple_weight, self.truncate_backward,
-                        self.attention_impl)
+                        self.attention_impl, self.known_replacement)
                     taps["inner_cos"] = y  # InnerCos tap, pre-norm
                 y = Norm(name="down_norm3")(y, train)
 
@@ -164,6 +165,7 @@ class UnetGeneratorIPSR(nn.Module):
     triple_weight: float = 1.0
     truncate_backward: bool = True
     attention_impl: str = "lax"
+    known_replacement: bool = True
     norm: str = "instance"
     init_gain: float = 0.02
     init_type: str = "normal"
@@ -197,7 +199,8 @@ class UnetGeneratorIPSR(nn.Module):
                       with_attention=True,
                       triple_weight=self.triple_weight,
                       truncate_backward=self.truncate_backward,
-                      attention_impl=self.attention_impl, init_gain=g)
+                      attention_impl=self.attention_impl,
+                      known_replacement=self.known_replacement, init_gain=g)
         block = Block(2, ngf * 2, ngf * 4, submodule=block, init_gain=g)
         block = Block(1, ngf, ngf * 2, submodule=block, init_gain=g)
         self.model = Block(0, self.output_nc, ngf, input_nc=self.input_nc,

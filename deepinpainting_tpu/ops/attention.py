@@ -57,6 +57,23 @@ from jax import lax
 _NORM_EPS = 1e-8  # parity: NonparametricShift.py:39, IPSRFunction.py:109
 
 
+def _apply_known_replacement(ind: jnp.ndarray, flag: jnp.ndarray,
+                             known_replacement: bool) -> jnp.ndarray:
+    """Reference quirk (IPSRFunction.py:127-129): even KNOWN (unmasked)
+    positions are replaced by their best-ref-matching patch, so the whole
+    feature map outside the hole is rewritten.  `known_replacement=False`
+    is the corrected identity-on-known mode: unmasked positions keep their
+    own patch (ind[q] := q), which makes both the decoded output and the
+    kbar row at unmasked q the identity.  Masked positions are untouched
+    either way — the coherence blend only ever consumes masked-position
+    inds.  Works on [N] (single) and [B, N] (batched) operands alike.
+    """
+    if known_replacement:
+        return ind
+    iota = jnp.arange(ind.shape[-1], dtype=ind.dtype)
+    return jnp.where(flag > 0.5, ind, jnp.broadcast_to(iota, ind.shape))
+
+
 def _propagate_scan(P: jnp.ndarray, Pn: jnp.ndarray, flag: jnp.ndarray,
                     ind: jnp.ndarray, vmax: jnp.ndarray) -> jnp.ndarray:
     """Sequential coherence propagation; returns kbar [N_pos, N_patch]."""
@@ -177,7 +194,8 @@ def _scan_out_only(P: jnp.ndarray, Pn: jnp.ndarray, flag: jnp.ndarray,
 
 
 def _attention_core_primal(feat: jnp.ndarray, ref: jnp.ndarray,
-                           flag: jnp.ndarray) -> jnp.ndarray:
+                           flag: jnp.ndarray,
+                           known_replacement: bool = True) -> jnp.ndarray:
     """Inference-only forward: no kbar, no decode matmul."""
     h, w, c = feat.shape
     n = h * w
@@ -187,12 +205,14 @@ def _attention_core_primal(feat: jnp.ndarray, ref: jnp.ndarray,
     scores = jnp.dot(Pn, R.T, preferred_element_type=jnp.float32)
     ind = jnp.argmax(scores, axis=0)
     vmax = jnp.max(scores, axis=0).astype(P.dtype)
+    ind = _apply_known_replacement(ind, flag, known_replacement)
     out = _scan_out_only(P, Pn, flag, ind, vmax)
     return out.astype(feat.dtype).reshape(h, w, c)
 
 
 def _attention_core(feat: jnp.ndarray, ref: jnp.ndarray,
-                    flag: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                    flag: jnp.ndarray, known_replacement: bool = True
+                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Single-sample forward.  feat/ref: [H, W, C]; flag: [H*W].
 
     Returns (out [H, W, C], kbar [N_pos, N_patch]).
@@ -207,6 +227,7 @@ def _attention_core(feat: jnp.ndarray, ref: jnp.ndarray,
     scores = jnp.dot(Pn, R.T, preferred_element_type=jnp.float32)  # [patch,pos]
     ind = jnp.argmax(scores, axis=0)
     vmax = jnp.max(scores, axis=0).astype(P.dtype)
+    ind = _apply_known_replacement(ind, flag, known_replacement)
 
     kbar = _propagate_scan(P, Pn, flag, ind, vmax)
 
@@ -214,7 +235,7 @@ def _attention_core(feat: jnp.ndarray, ref: jnp.ndarray,
     return out.astype(feat.dtype).reshape(h, w, c), kbar
 
 
-def _core(feat, ref, flag, impl: str):
+def _core(feat, ref, flag, impl: str, known_replacement: bool = True):
     """Dispatch to the lax formulation or the fused Pallas kernels
     (attention_pallas.py).  The streamed kernels cover every production
     grid size (incl. N=4096 / 512x512 inputs); the fused_fits gate only
@@ -223,30 +244,36 @@ def _core(feat, ref, flag, impl: str):
         from . import attention_pallas as ap
         n = feat.shape[0] * feat.shape[1]
         if ap.fused_fits(n, feat.shape[2]):
-            return ap.attention_core_pallas(feat, ref, flag)
-    return _attention_core(feat, ref, flag)
+            return ap.attention_core_pallas(
+                feat, ref, flag, known_replacement=known_replacement)
+    return _attention_core(feat, ref, flag, known_replacement)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
 def ipsr_attention(feat: jnp.ndarray, ref: jnp.ndarray, flag: jnp.ndarray,
                    triple_weight: float = 1.0,
                    truncate_backward: bool = True,
-                   impl: str = "lax") -> jnp.ndarray:
+                   impl: str = "lax",
+                   known_replacement: bool = True) -> jnp.ndarray:
     """Single-sample IPSR attention.  feat/ref [H,W,C], flag [H*W] (1=masked).
 
     The primal (inference) path is kbar-free (_scan_out_only); kbar is
     only materialized under differentiation (the fwd rule below).
+    `known_replacement` is the Config.faithful_known_replacement quirk
+    switch (IPSRFunction.py:127-129 — see _apply_known_replacement).
     """
-    return _attention_core_primal(feat, ref, flag)
+    return _attention_core_primal(feat, ref, flag, known_replacement)
 
 
-def _ipsr_fwd(feat, ref, flag, triple_weight, truncate_backward, impl):
-    out, kbar = _core(feat, ref, flag, impl)
+def _ipsr_fwd(feat, ref, flag, triple_weight, truncate_backward, impl,
+              known_replacement):
+    out, kbar = _core(feat, ref, flag, impl, known_replacement)
     K = jnp.trunc(kbar) if truncate_backward else kbar
     return out, (K, feat.shape, flag.shape)
 
 
-def _ipsr_bwd(triple_weight, truncate_backward, impl, res, g):
+def _ipsr_bwd(triple_weight, truncate_backward, impl, known_replacement,
+              res, g):
     K, shape, flag_shape = res
     h, w, c = shape
     gf = g.reshape(h * w, c)
@@ -261,23 +288,27 @@ def _ipsr_bwd(triple_weight, truncate_backward, impl, res, g):
 ipsr_attention.defvjp(_ipsr_fwd, _ipsr_bwd)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def _attention_batched_pallas(feat, ref, flag, triple_weight,
-                              truncate_backward):
+                              truncate_backward, known_replacement):
     # primal = kbar-free batch-vectorized v2 kernel; the kbar-building
     # kernel only runs under differentiation (fwd rule below).
     from . import attention_pallas as ap
-    return ap.attention_primal_pallas_batched(feat, ref, flag)
+    return ap.attention_primal_pallas_batched(
+        feat, ref, flag, known_replacement=known_replacement)
 
 
-def _batched_pallas_fwd(feat, ref, flag, triple_weight, truncate_backward):
+def _batched_pallas_fwd(feat, ref, flag, triple_weight, truncate_backward,
+                        known_replacement):
     from . import attention_pallas as ap
-    out, kbar = ap.attention_core_pallas_batched(feat, ref, flag)
+    out, kbar = ap.attention_core_pallas_batched(
+        feat, ref, flag, known_replacement=known_replacement)
     K = jnp.trunc(kbar) if truncate_backward else kbar
     return out, (K, feat.shape, flag.shape)
 
 
-def _batched_pallas_bwd(triple_weight, truncate_backward, res, g):
+def _batched_pallas_bwd(triple_weight, truncate_backward, known_replacement,
+                        res, g):
     K, shape, flag_shape = res
     b, h, w, c = shape
     gf = g.reshape(b, h * w, c)
@@ -294,7 +325,8 @@ _attention_batched_pallas.defvjp(_batched_pallas_fwd, _batched_pallas_bwd)
 def ipsr_attention_batched(feat: jnp.ndarray, ref: jnp.ndarray,
                            flag: jnp.ndarray, triple_weight: float = 1.0,
                            truncate_backward: bool = True,
-                           impl: str = "lax") -> jnp.ndarray:
+                           impl: str = "lax",
+                           known_replacement: bool = True) -> jnp.ndarray:
     """Batched attention: feat/ref [B,H,W,C], flag [B, H*W].
 
     The reference hard-requires batch size 1 (models/IPSR.py:35-36, a Python
@@ -307,15 +339,18 @@ def ipsr_attention_batched(feat: jnp.ndarray, ref: jnp.ndarray,
         n = feat.shape[1] * feat.shape[2]
         if ap.fused_fits(n, feat.shape[3]):
             return _attention_batched_pallas(feat, ref, flag, triple_weight,
-                                             truncate_backward)
+                                             truncate_backward,
+                                             known_replacement)
     return jax.vmap(
         lambda f, r, m: ipsr_attention(f, r, m, triple_weight,
-                                       truncate_backward, "lax")
+                                       truncate_backward, "lax",
+                                       known_replacement)
     )(feat, ref, flag)
 
 
 def attention_matrix(feat: jnp.ndarray, ref: jnp.ndarray,
-                     flag: jnp.ndarray) -> jnp.ndarray:
+                     flag: jnp.ndarray,
+                     known_replacement: bool = True) -> jnp.ndarray:
     """Expose kbar [N_pos, N_patch] for tests/visualization."""
-    _, kbar = _attention_core(feat, ref, flag)
+    _, kbar = _attention_core(feat, ref, flag, known_replacement)
     return kbar

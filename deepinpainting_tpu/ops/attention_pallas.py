@@ -235,8 +235,15 @@ def _kbar_build(flag, ind, a, b, *, k: int, w: int, interpret: bool):
 # public entry points
 # ---------------------------------------------------------------------------
 
-def _prep(feat: jnp.ndarray, ref: jnp.ndarray):
-    """Batched XLA pre-stage: normalize, scores, argmax, gather."""
+def _prep(feat: jnp.ndarray, ref: jnp.ndarray, flag: jnp.ndarray,
+          known_replacement: bool = True):
+    """Batched XLA pre-stage: normalize, scores, argmax, gather.
+
+    `known_replacement=False` is the corrected identity-on-known mode
+    (attention.py::_apply_known_replacement): ind[q] := q at unmasked
+    positions, so the gathered best patch AND the kbar one-hot at those
+    positions become the identity.  Masked positions are untouched.
+    """
     bsz, h, w, c = feat.shape
     n = h * w
     P = feat.reshape(bsz, n, c).astype(jnp.float32)
@@ -246,6 +253,9 @@ def _prep(feat: jnp.ndarray, ref: jnp.ndarray):
                         preferred_element_type=jnp.float32)
     ind = jnp.argmax(scores, axis=1).astype(jnp.int32)         # [B,N] patches
     vmax = jnp.max(scores, axis=1)                             # [B,N]
+    if not known_replacement:
+        ind = jnp.where(flag.reshape(bsz, n) > 0.5, ind,
+                        jnp.arange(n, dtype=jnp.int32)[None, :])
     known = jnp.take_along_axis(P, ind[..., None], axis=1)     # [B,N,C]
     return P, Pn, ind, vmax, known
 
@@ -257,7 +267,8 @@ def _default_interpret(interpret):
 
 
 def attention_core_pallas_batched(feat: jnp.ndarray, ref: jnp.ndarray,
-                                  flag: jnp.ndarray, *, interpret=None):
+                                  flag: jnp.ndarray, *, interpret=None,
+                                  known_replacement: bool = True):
     """Batched training-path forward: (out [B,H,W,C], kbar [B,N,N]).
 
     Matches vmap of attention.py::_attention_core exactly: the propagation
@@ -267,7 +278,7 @@ def attention_core_pallas_batched(feat: jnp.ndarray, ref: jnp.ndarray,
     """
     bsz, h, w, c = feat.shape
     interpret = _default_interpret(interpret)
-    P, Pn, ind, vmax, known = _prep(feat, ref)
+    P, Pn, ind, vmax, known = _prep(feat, ref, flag, known_replacement)
     flag_f = flag.astype(jnp.float32)
     n = h * w
     k, q = plan_tiles(bsz, n, c)
@@ -281,15 +292,18 @@ def attention_core_pallas_batched(feat: jnp.ndarray, ref: jnp.ndarray,
 
 
 def attention_core_pallas(feat: jnp.ndarray, ref: jnp.ndarray,
-                          flag: jnp.ndarray, *, interpret=None):
+                          flag: jnp.ndarray, *, interpret=None,
+                          known_replacement: bool = True):
     """Single-sample wrapper.  feat/ref: [H,W,C]; flag: [H*W]."""
     out, kbar = attention_core_pallas_batched(
-        feat[None], ref[None], flag[None], interpret=interpret)
+        feat[None], ref[None], flag[None], interpret=interpret,
+        known_replacement=known_replacement)
     return out[0], kbar[0]
 
 
 def attention_primal_pallas_batched(feat: jnp.ndarray, ref: jnp.ndarray,
-                                    flag: jnp.ndarray, *, interpret=None
+                                    flag: jnp.ndarray, *, interpret=None,
+                                    known_replacement: bool = True
                                     ) -> jnp.ndarray:
     """kbar-free batched inference forward (matches vmap of
     attention.py::_attention_core_primal).  Scores/argmax/gather stay in
@@ -298,7 +312,7 @@ def attention_primal_pallas_batched(feat: jnp.ndarray, ref: jnp.ndarray,
     dynamic sublane slices for 16-bit element types."""
     bsz, h, w, c = feat.shape
     interpret = _default_interpret(interpret)
-    P, Pn, ind, vmax, known = _prep(feat, ref)
+    P, Pn, ind, vmax, known = _prep(feat, ref, flag, known_replacement)
     k, q = plan_tiles(bsz, h * w, c)
     out, _, _ = _scan_stream(flag.astype(jnp.float32), vmax, Pn, known,
                              k=k, q=q, interpret=interpret)

@@ -138,7 +138,19 @@ def process_batch_rows(mesh: Mesh, batch_size: int,
             if any(d.process_index == me
                    for d in np.atleast_1d(moved[i]).ravel())]
     if not mine:
-        return 0, 0  # this process's devices are outside the mesh
+        # Reachable from a plain `dip-train --multihost` whenever the
+        # auto-shrunk mesh (make_mesh_for_batch's gcd, or the sp branch's
+        # n_data gcd) drops whole hosts — and a mesh excluding an entire
+        # process couldn't run the collective step anyway.  Fail with the
+        # actionable sentence instead of handing (0, 0) to BatchIterator's
+        # rows validation (ADVICE r4).
+        raise ValueError(
+            f"process {me}'s devices hold no rows of the '{axis}' axis: "
+            f"multi-host training requires every process's devices in the "
+            f"mesh, but batch_size={batch_size} over {n} data-parallel "
+            f"group(s) left this process out (typically the mesh was "
+            f"auto-shrunk because batch_size is not divisible by the "
+            f"global device count — raise batch_size or shrink the slice)")
     if mine != list(range(mine[0], mine[-1] + 1)):
         raise ValueError(
             f"process {me} holds non-contiguous data rows {mine}; lay the "

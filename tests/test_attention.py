@@ -144,6 +144,49 @@ def test_known_positions_replaced_by_best_match():
         assert dists.min() < 1e-5
 
 
+def test_known_replacement_corrected_is_identity_on_known():
+    """known_replacement=False (Config.faithful_known_replacement=False):
+    unmasked positions keep their own patch (identity) instead of the
+    reference's best-match rewrite (IPSRFunction.py:127-129), while masked
+    positions are BIT-IDENTICAL to faithful mode — the coherence recurrence
+    only ever consumes masked-position carries and best-matches."""
+    feat, ref, fmask = make_case(11, h=8, w=8, c=16, frac=0.4)
+    feat_hwc = jnp.asarray(np.transpose(feat, (1, 2, 0)))
+    ref_hwc = jnp.asarray(np.transpose(ref, (1, 2, 0)))
+    flag = M.patch_flags(jnp.asarray(fmask), 1, 1, 1.0)
+    faithful = np.asarray(A.ipsr_attention(feat_hwc, ref_hwc, flag))
+    corrected = np.asarray(A.ipsr_attention(
+        feat_hwc, ref_hwc, flag, 1.0, True, "lax", False))
+    m = np.asarray(flag).reshape(8, 8) > 0.5
+    # corrected: identity outside the hole
+    np.testing.assert_array_equal(corrected[~m], np.asarray(feat_hwc)[~m])
+    # both modes: identical inside the hole
+    np.testing.assert_array_equal(corrected[m], faithful[m])
+    # faithful genuinely rewrites the outside (the quirk is real)
+    assert np.abs(faithful[~m] - np.asarray(feat_hwc)[~m]).max() > 1e-3
+
+
+def test_known_replacement_corrected_kbar_identity_rows():
+    feat, ref, fmask = make_case(12, h=6, w=6, c=8, frac=0.3)
+    feat_hwc = jnp.asarray(np.transpose(feat, (1, 2, 0)))
+    ref_hwc = jnp.asarray(np.transpose(ref, (1, 2, 0)))
+    flag = M.patch_flags(jnp.asarray(fmask), 1, 1, 1.0)
+    kbar = np.asarray(A.attention_matrix(feat_hwc, ref_hwc, flag,
+                                         known_replacement=False))
+    m = np.asarray(flag) > 0.5
+    eye = np.eye(36, dtype=np.float32)
+    np.testing.assert_array_equal(kbar[~m], eye[~m])
+    # and the backward through the identity rows: all-known => K == I, so
+    # grad = g + tw * I^T g = (1 + tw) * g exactly
+    flag0 = jnp.zeros((36,))
+    g = jnp.asarray(np.random.default_rng(3).standard_normal(
+        feat_hwc.shape).astype(np.float32))
+    _, vjp = jax.vjp(lambda f: A.ipsr_attention(
+        f, ref_hwc, flag0, 1.0, True, "lax", False), feat_hwc)
+    np.testing.assert_allclose(np.asarray(vjp(g)[0]), 2.0 * np.asarray(g),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_batched_vmap_consistency():
     feats, refs, flags = [], [], []
     for s in range(3):

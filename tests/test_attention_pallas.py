@@ -83,6 +83,45 @@ def test_batched_vmap_pallas():
                                rtol=1e-4, atol=1e-4)
 
 
+def test_known_replacement_corrected_matches_lax():
+    """known_replacement=False (corrected identity-on-known mode) must
+    agree between the pallas and lax pipelines — forward, kbar, primal,
+    and the custom-vjp backward — and keep unmasked positions identity."""
+    feat, ref, flag = sample(4)
+    out_lax, kbar_lax = A._attention_core(feat, ref, flag,
+                                          known_replacement=False)
+    out_pl, kbar_pl = AP.attention_core_pallas(feat, ref, flag,
+                                               interpret=True,
+                                               known_replacement=False)
+    # masked-row blend coefficients differ at ulp level between the two
+    # pipelines (batched [K,C] reduction vs per-sample dot) — ~3e-5 max
+    np.testing.assert_allclose(np.asarray(kbar_pl), np.asarray(kbar_lax),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out_pl), np.asarray(out_lax),
+                               rtol=1e-4, atol=1e-4)
+    m = np.asarray(flag) > 0.5
+    np.testing.assert_array_equal(
+        np.asarray(out_pl).reshape(N, C)[~m],
+        np.asarray(feat).reshape(N, C)[~m])
+    # primal kernel
+    prim = AP.attention_primal_pallas_batched(feat[None], ref[None],
+                                              flag[None], interpret=True,
+                                              known_replacement=False)
+    np.testing.assert_allclose(np.asarray(prim[0]), np.asarray(out_lax),
+                               rtol=1e-4, atol=1e-4)
+
+    # batched custom-vjp backward, both impls
+    def g(impl):
+        def f(x):
+            y = A.ipsr_attention_batched(x, ref[None], flag[None], 1.0,
+                                         True, impl, False)
+            return jnp.sum(y ** 2)
+        return jax.grad(f)(feat[None])
+
+    np.testing.assert_allclose(np.asarray(g("pallas")), np.asarray(g("lax")),
+                               rtol=1e-4, atol=1e-3)
+
+
 def test_fused_fits_production_shapes():
     assert AP.fused_fits(1024, 512)        # 256x256 production shape
     assert AP.fused_fits(4096, 512)        # 512x512: streamed kernel covers it

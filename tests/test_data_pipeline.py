@@ -97,7 +97,7 @@ def test_batch_iterator_rows_slices_global_stream(data_dirs):
     ds = InpaintDataset(data_dirs["img"], data_dirs["mask"],
                         data_dirs["ref"], fine_size=S)
     full = list(BatchIterator(ds, batch_size=4, seed=9))
-    for backend, workers in (("process", 0), ("thread", 2)):
+    for backend, workers in (("process", 0), ("process", 2), ("thread", 2)):
         for lo, hi in ((0, 2), (2, 4), (1, 3)):
             part = list(BatchIterator(ds, batch_size=4, seed=9,
                                       rows=(lo, hi), backend=backend,
@@ -108,9 +108,12 @@ def test_batch_iterator_rows_slices_global_stream(data_dirs):
                     np.testing.assert_array_equal(fb[k][lo:hi], pb[k])
     with pytest.raises(ValueError):
         BatchIterator(ds, batch_size=4, rows=(2, 2))
+    with pytest.raises(ValueError, match="drop_last"):
+        # multi-host decode only makes sense for fixed-size global batches
+        BatchIterator(ds, batch_size=4, rows=(0, 2), drop_last=False)
 
 
-def test_process_batch_rows_contiguous_mapping():
+def test_process_batch_rows_contiguous_mapping(monkeypatch):
     import jax
     from deepinpainting_tpu.parallel import mesh as pmesh
     mesh = pmesh.make_mesh(jax.devices()[:4])
@@ -120,6 +123,11 @@ def test_process_batch_rows_contiguous_mapping():
     assert pmesh.process_batch_rows(mesh, 8, axis="model") == (0, 8)
     with pytest.raises(ValueError):
         pmesh.process_batch_rows(mesh, 6)  # indivisible
+    # a process whose devices all fall outside the mesh must get the
+    # actionable error, not (0, 0) rows (ADVICE r4)
+    monkeypatch.setattr(jax, "process_index", lambda: 1)
+    with pytest.raises(ValueError, match="no rows"):
+        pmesh.process_batch_rows(mesh, 8)
 
 
 def test_prefetch_preserves_order_and_raises():

@@ -26,6 +26,8 @@ import sys
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # ~13 min: spawns 2 real jax.distributed CPU processes
+
 # Tiny config (CLAUDE.md CPU operating point); batch 4 -> 2 rows/process.
 _CFG_KW = ("fine_size=32, ngf=8, ndf=8, batch_size=4, use_dropout=False, "
            "vgg_width_scale=1 / 8, mask_type='random'")
@@ -235,7 +237,7 @@ from deepinpainting_tpu.engine.trainer import Trainer
 cfg = Config(fine_size=32, ngf=8, ndf=8, batch_size=4, use_dropout=False,
              vgg_width_scale=1 / 8, mask_type="random", seed=3,
              checkpoints_dir=os.path.join(root, "ck_mh"), niter=1,
-             niter_decay=1, display_freq=0, save_epoch_freq=1,
+             niter_decay=1, display_freq=8, save_epoch_freq=1,
              metrics_every=1, data_workers=0)
 ds = InpaintDataset(os.path.join(root, "img"), os.path.join(root, "mask"),
                     os.path.join(root, "ref"), 32, seed=cfg.seed)
@@ -247,6 +249,19 @@ if pid == 0:
                        os.path.join(root, "final_params_G.npz"))
     export_network_npz(state.params_D,
                        os.path.join(root, "final_params_D.npz"))
+
+# resume for ONE more epoch through the collective-restore path (ADVICE
+# r4: the --multihost help text promises collective saves/restores but
+# only save+single-process-restore was exercised): Trainer.init_state
+# restores the collectively-saved epoch-2 checkpoint into a host-local
+# template, then replicates it onto the multi-host mesh.
+cfg2 = cfg.replace(continue_train=True, which_epoch="latest",
+                   niter_decay=2)
+trainer2 = Trainer(cfg2, ds)
+state2 = trainer2.fit()
+if pid == 0:
+    export_network_npz(state2.params_G,
+                       os.path.join(root, "resumed_params_G.npz"))
 print("OK", flush=True)
 """
 
@@ -331,6 +346,15 @@ def test_multihost_fit_matches_single_process(fit_artifacts, tmp_path):
     trainer = Trainer(cfg, ds, mesh=pmesh.make_mesh(jax.devices()[:1]))
     single_state = trainer.fit()
 
+    # (0) the multi-host _dump_visuals path ran (display_freq=8 in
+    # _WORKER_FIT): the collective eval-step + process_allgather completed
+    # (a one-sided skip would have deadlocked the workers) and process 0
+    # wrote the grids — Epoch_(1)_(8) and Epoch_(2)_(16) from the first
+    # fit, Epoch_(3)_(8) from the resumed epoch (ADVICE r4).
+    saveimg = root / "ck_mh" / cfg.name / "saveimg"
+    assert sorted(p.name for p in saveimg.iterdir()) == [
+        "Epoch_(1)_(8).jpg", "Epoch_(2)_(16).jpg", "Epoch_(3)_(8).jpg"]
+
     # (a) final params parity with the single-process run — the contract of
     # tests/test_parallel's DP==single params check, compounded over the 4
     # optimizer steps of this run: divergence must stay Adam-shaped (each
@@ -357,7 +381,8 @@ def test_multihost_fit_matches_single_process(fit_artifacts, tmp_path):
     # the last save IS the final state; params don't change afterwards)
     cfg_mh = _fit_cfg(root, root / "ck_mh")
     mgr = CheckpointManager(cfg_mh)
-    assert mgr.latest_epoch() == 2
+    # epoch 3 exists: the workers resumed collectively for one more epoch
+    assert mgr.latest_epoch() == 3
     restored = mgr.restore(2, create_state(cfg_mh, jax.random.PRNGKey(0)))
     mgr.close()
     for got, want in ((restored.params_G, mh_G), (restored.params_D, mh_D)):
@@ -366,6 +391,25 @@ def test_multihost_fit_matches_single_process(fit_artifacts, tmp_path):
         assert len(ga) == len(wa)
         for x, y in zip(ga, wa):
             np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+    # (c) multi-host RESUME parity (ADVICE r4): the workers' epoch-3
+    # continuation (collective restore through Trainer.init_state ->
+    # replicate onto the multi-host mesh) must land where a single-process
+    # resume of its own run lands — same Adam-shaped bound, now over 6
+    # total optimizer steps.
+    cfg_r = _fit_cfg(root, tmp_path / "ck_single").replace(
+        continue_train=True, which_epoch="latest", niter_decay=2)
+    trainer_r = Trainer(cfg_r, ds, mesh=pmesh.make_mesh(jax.devices()[:1]))
+    resumed_single = trainer_r.fit()
+    mh_G_res = import_network_npz(resumed_single.params_G,
+                                  str(root / "resumed_params_G.npz"))
+    a = np.concatenate([np.asarray(x).ravel()
+                        for x in jax.tree_util.tree_leaves(mh_G_res)])
+    b = np.concatenate([np.asarray(x).ravel() for x in
+                        jax.tree_util.tree_leaves(resumed_single.params_G)])
+    assert np.abs(a - b).max() <= 6 * 2.2 * cfg.lr, \
+        "non-Adam-shaped divergence after resume"
+    assert np.isclose(a, b, rtol=1e-3, atol=1e-5).mean() > 0.9
 
 
 def test_multihost_dp_step_matches_single_process(worker_metrics):

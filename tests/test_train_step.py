@@ -131,6 +131,7 @@ def test_bf16_train_step_runs_and_is_finite(attn):
     assert leaves_delta(st.params_G, st2.params_G) > 0
 
 
+@pytest.mark.slow
 def test_batch_norm_train_step_threads_running_stats():
     # norm='batch' (get_norm_layer's other branch, networks.py:21-22):
     # G/P/D state entries become full variables dicts; one train step must
@@ -208,6 +209,7 @@ def test_batch_norm_state_checkpoint_roundtrip(tmp_path):
     assert leaves_delta(st.params_G, back) == 0
 
 
+@pytest.mark.slow
 def test_batch_norm_grad_accum_semantics():
     """norm='batch' + grad_accum (torch grad-accum semantics: each
     microbatch normalizes by its own statistics; running stats chain
