@@ -203,6 +203,23 @@ def shard_batch(batch: Dict[str, Any], mesh: Mesh,
 
 
 def replicate_state(state, mesh: Mesh):
+    """Replicate a host-local state pytree onto every device of `mesh`.
+
+    Multi-host: leaves restored from a checkpoint are jax.Arrays
+    COMMITTED to this process's devices (orbax restores into a local
+    sharding), and `device_put` of a committed array onto a multi-host
+    sharding demands a DCN cross-host transfer the CPU/TPU backends here
+    refuse (`jax_cross_host_transfer_socket_address`).  No transfer is
+    actually needed — every process restored the identical full value —
+    so drop committed leaves to host numpy first; `device_put` of a host
+    buffer onto a replicated sharding just uploads each process's local
+    copy.  (Fresh `create_state` leaves are *uncommitted* and never hit
+    this; exercised by tests/test_multihost.py's collective-resume leg.)
+    """
+    if jax.process_count() > 1:
+        state = jax.tree_util.tree_map(
+            lambda x: np.asarray(x) if isinstance(x, jax.Array) else x,
+            state)
     return jax.device_put(state, replicated(mesh))
 
 

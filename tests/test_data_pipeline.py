@@ -230,6 +230,7 @@ TINY = Config(fine_size=32, ngf=8, ndf=8, batch_size=1,
               vgg_width_scale=1 / 8, mask_type="random")
 
 
+@pytest.mark.slow
 def test_checkpoint_roundtrip_and_resume(tmp_path):
     state = create_state(TINY, jax.random.PRNGKey(0))
     cfg = TINY.replace(checkpoints_dir=str(tmp_path))
@@ -250,6 +251,7 @@ def test_checkpoint_roundtrip_and_resume(tmp_path):
     mgr.close()
 
 
+@pytest.mark.slow
 def test_restore_only_manager_does_not_clobber_config(tmp_path):
     """A restore-only CheckpointManager (the dip-evaluate / dip-serve /
     dip-export path, is_train=False) must not rewrite the training run's
@@ -288,6 +290,7 @@ def test_restore_only_manager_does_not_clobber_config(tmp_path):
     mgr3.close()
 
 
+@pytest.mark.slow
 def test_network_npz_export_import_roundtrip(tmp_path):
     state = create_state(TINY, jax.random.PRNGKey(0))
     p = str(tmp_path / "netG.npz")
@@ -353,6 +356,7 @@ def test_uint8_transport_bit_identical(data_dirs):
         np.testing.assert_array_equal(n8[k], nf[k])
 
 
+@pytest.mark.slow
 def test_async_checkpoint_save_then_immediate_restore(tmp_path):
     """async_save=True (the Trainer's mode): reads synchronize with the
     in-flight background write, so save -> immediate restore is exact."""

@@ -154,6 +154,7 @@ def test_unsupported_norm_and_init_type_raise():
         build_models(tiny.replace(init_type="uniform"))
 
 
+@pytest.mark.slow
 def test_init_gain_scales_conv_init(rng):
     # cfg.init_gain is threaded to every conv kernel init (the role of
     # init_weights(net, 'normal', gain) — networks.py:49-70,73-78).
@@ -215,6 +216,7 @@ def test_init_type_statistics(rng):
     np.testing.assert_allclose(kt.std(), np.sqrt(2.0 / (64 * 16)), rtol=0.05)
 
 
+@pytest.mark.slow
 def test_init_type_builds_and_inits(rng):
     # build_models accepts every reference init variant and init_params
     # produces finite params (the init_net path, networks.py:73-78).

@@ -65,6 +65,7 @@ def single_ref():
     return s_out, s_metrics
 
 
+@pytest.mark.slow
 def test_dp_matches_single_device_grad_semantics(single_ref):
     # One DP step over 8 devices == the same jitted step on one device with
     # the same global batch (XLA all-reduce == global-batch mean).
@@ -92,6 +93,7 @@ def test_dp_matches_single_device_grad_semantics(single_ref):
     assert agree > 0.995, f"only {agree:.4%} of params agree"
 
 
+@pytest.mark.slow
 def test_dp_batch_norm_global_stats_match_single():
     # norm='batch' under DP: jnp.mean over (N,H,W) of a batch-sharded array
     # is the GLOBAL batch mean (GSPMD inserts the cross-device psum), so one
@@ -154,6 +156,7 @@ def test_sp_inference_matches_single_device():
                                rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_dp_sp_train_step_matches_single(single_ref):
     # One step on a 2-D (data=2, sp=4) mesh — batch sharded 2-way AND image
     # height sharded 4-way — must reproduce the single-device step: the
@@ -196,6 +199,7 @@ def test_dp_sp_train_step_matches_single(single_ref):
     assert agree > 0.90, f"only {agree:.4%} of params agree"
 
 
+@pytest.mark.slow
 def test_dp_sp_batch_norm_stats_match_single():
     # norm='batch' on the 2-D (data=2, sp=4) mesh: the (N,H,W) statistics
     # reduce over BOTH sharded axes (batch 2-way, height 4-way — GSPMD
@@ -232,6 +236,7 @@ def test_dp_sp_batch_norm_stats_match_single():
                 err_msg=f"{net}{jax.tree_util.keystr(kp)}")
 
 
+@pytest.mark.slow
 def test_dp_step_with_grad_accum_runs_on_8_devices():
     """Config.grad_accum composes with the GSPMD DP step: the global batch
     reshapes to (k, B/k) microbatches inside the sharded jit (each

@@ -355,6 +355,7 @@ def test_eval_protocol_metric_parity(stacks):
     np.testing.assert_allclose(res["ssim"], np.mean(want_ssim), atol=2e-3)
 
 
+@pytest.mark.slow
 def test_composed_train_step_loss_parity(stacks):
     """(b) one optimize_parameters() (models/IPSR.py:267-278) vs our
     train_step: loss scalars must match — D and F from the pre-update

@@ -26,6 +26,7 @@ def batch_of(n, seed):
     return {"image": img, "mask": mask, "ref": ref}
 
 
+@pytest.mark.slow
 def test_remat_train_step_matches_plain():
     # remat recomputes each level's forward during backward instead of
     # storing it — identical arithmetic, so params/metrics must agree.
@@ -60,6 +61,7 @@ def test_remat_train_step_matches_plain():
     assert np.isclose(a, b, rtol=1e-3, atol=1e-5).mean() > 0.95
 
 
+@pytest.mark.slow
 def test_remat_batch_norm_matches_plain():
     # norm='batch' composes with remat: the checkpointed levels' forwards
     # re-run during backward, but flax threads each level's batch_stats

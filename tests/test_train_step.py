@@ -64,6 +64,7 @@ def test_netp_gets_no_gan_gradient(state):
     assert leaves_delta(state.params_G, new_state.params_G) > 0
 
 
+@pytest.mark.slow
 def test_detached_cosis_contributes_no_gradient(state):
     # Faithful mode: InnerCos losses are values only (models/IPSR.py:255-263).
     # Compare G updates with cosis on vs off under identical rngs: must match.
@@ -116,6 +117,7 @@ def test_center_mask_type(state):
     assert np.isfinite(float(out["loss_valid"]))
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("attn", ["lax", "pallas"])
 def test_bf16_train_step_runs_and_is_finite(attn):
     # regression: preferred_element_type=f32 on bf16 conv operands broke
@@ -167,6 +169,7 @@ def test_batch_norm_train_step_threads_running_stats():
                         st3.params_G["batch_stats"]) > 0
 
 
+@pytest.mark.slow
 def test_batch_norm_bf16_step_finite_and_f32_stats():
     # bf16 activations compose with norm='batch': TorchBatchNorm computes
     # statistics in f32 regardless of the activation dtype, so the tracked
@@ -184,6 +187,7 @@ def test_batch_norm_bf16_step_finite_and_f32_stats():
                         st2.params_G["batch_stats"]) > 0
 
 
+@pytest.mark.slow
 def test_batch_norm_state_checkpoint_roundtrip(tmp_path):
     # orbax full-state save/restore and the npz interop are tree-generic —
     # with norm='batch' the G/P/D entries are variables dicts and the
@@ -355,6 +359,7 @@ def test_eval_step_in_graph_metrics_match_host():
                                    rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_train_step_accepts_uint8_batch():
     """uint8 host transport: the step normalizes on device and produces the
     same update as the f32 batch (bit-identical inputs post-normalize)."""

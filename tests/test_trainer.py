@@ -53,6 +53,7 @@ def tiny_cfg(tmp_path_factory):
                   display_freq=2, save_epoch_freq=1, seed=3)
 
 
+@pytest.mark.slow
 def test_trainer_fit_two_epochs(data_dirs, tiny_cfg):
     mesh = pmesh.make_mesh(jax.devices()[:2])
     train_ds = InpaintDataset(data_dirs["img"], data_dirs["mask"],
@@ -87,6 +88,7 @@ def test_trainer_fit_two_epochs(data_dirs, tiny_cfg):
     assert int(state3.step) == 8  # one more epoch (4) from epoch 3
 
 
+@pytest.mark.slow
 def test_trainer_fit_resume_batch_norm(data_dirs, tiny_cfg, tmp_path):
     # norm='batch' through the full Trainer surface: orbax checkpoints the
     # variables-dict state entries per epoch, and a resume restores the
@@ -171,6 +173,7 @@ def test_debug_nan_guard_halts_on_windowed_flush(data_dirs, tiny_cfg,
         tr.train_epoch(state, 1, jax.random.PRNGKey(0), 0)
 
 
+@pytest.mark.slow
 def test_trainer_fit_sp_mesh(data_dirs, tiny_cfg, tmp_path):
     """cfg.sp_devices > 1: the Trainer self-builds the 2-D (data x sp)
     mesh, shards the batch over data AND the image height over sp
