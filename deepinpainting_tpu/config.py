@@ -63,8 +63,9 @@ class Config:
     # identity (IPSRFunction.py:127-129) — the one quirk that changes
     # INFERENCE output.  False = corrected identity-on-known mode
     # (ops/attention.py _apply_known_replacement).  Measured on the demo
-    # protocol (artifacts/train_demo_corrected README, known-replacement
-    # section) before choosing the default.
+    # protocol (artifacts/kr_ablation README: neutral both at eval time
+    # and train time; corrected-trained must be served corrected) before
+    # choosing the default.
     attention_impl: str = "pallas"              # 'pallas' | 'lax' (e2e a wash at 256px, pallas wins isolated + at 512px; interprets on CPU)
     remat: bool = False            # checkpoint U-Net levels (jax.checkpoint
     # via nn.remat): backward recomputes levels instead of storing their
